@@ -1,0 +1,28 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+The session environment preloads JAX with the axon TPU plugin (sitecustomize
+on PYTHONPATH), so env vars alone are not enough — we must flip
+jax.config before any backend is initialized. Multi-chip sharding tests use
+the virtual 8-device CPU mesh (xla_force_host_platform_device_count),
+mirroring how the driver dry-runs the multi-chip path.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("FASTTRACK_TEST_PLATFORM", "cpu"))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
