@@ -14,7 +14,7 @@ batched; `kind` is a Python-level static so lax.cond is not needed.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -25,13 +25,29 @@ FISHEYE_KB8 = "kb8"
 _MAX_PARAMS = 8
 
 
-class Camera(NamedTuple):
-    """kind is static (python string); params is (8,) [fx fy cx cy k0 k1 k2 k3]."""
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """A camera model as a JAX pytree: `params` (8,) [fx fy cx cy k0 k1 k2 k3]
+    is a traced leaf; `kind`/`width`/`height` are static aux data, so a
+    Camera can be passed through jit boundaries directly and `project`
+    dispatches on `kind` at trace time."""
 
     kind: str
     params: jnp.ndarray
     width: int
     height: int
+
+    def tree_flatten(self):
+        return (self.params,), (self.kind, self.width, self.height)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        kind, width, height = aux
+        return cls(kind, children[0], width, height)
+
+    def __hash__(self):
+        return hash((self.kind, self.width, self.height))
 
     @property
     def fx(self):

@@ -1,0 +1,7 @@
+"""Trajectory evaluation (replaces the reference's absent evaluate3.py)."""
+
+from fasttrack_tpu.evaluation.ate import (  # noqa: F401
+    umeyama_alignment,
+    absolute_trajectory_error,
+    associate_trajectories,
+)

@@ -1,0 +1,68 @@
+"""Rotated-BRIEF (ORB) descriptors as one batched gather.
+
+Parity target: src/descriptor.cu:20-89 (compute_descriptor_kernel): for each
+keypoint, rotate the 256 sampling pairs by the IC angle, read the *blurred*
+pyramid, compare each pair -> one bit; 32-byte descriptor.
+
+TPU design: all N keypoints x 512 sample points become a single flat gather
+into the (L*H*W) blurred tensor; the pack to 32 uint8 bytes is a matmul with
+a power-of-two matrix. Descriptors are returned both as +-1 int8 vectors
+(N, 256) — the MXU-matmul Hamming format — and packed bytes (N, 32) for
+storage/serialization parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fasttrack_tpu.ops.pattern import N_BITS, PATTERN
+
+
+def brief_descriptors(
+    blurred: jnp.ndarray,  # (L, H, W)
+    x: jnp.ndarray,        # (N,) int32 level coords
+    y: jnp.ndarray,        # (N,)
+    level: jnp.ndarray,    # (N,)
+    angle: jnp.ndarray,    # (N,) radians
+) -> jnp.ndarray:
+    """Returns bit matrix (N, 256) uint8 in {0, 1}."""
+    L, H, W = blurred.shape
+    flat = blurred.reshape(-1)
+    pat = jnp.asarray(PATTERN, dtype=jnp.float32)  # (256, 2, 2) [.., (x, y)]
+    px = pat[..., 0].reshape(-1)  # (512,)
+    py = pat[..., 1].reshape(-1)
+
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (N,)
+    # Rotate pattern points: (x', y') = (x ca - y sa, x sa + y ca), rounded
+    # to nearest like the reference's cvRound sampling.
+    rx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None]).astype(jnp.int32)
+    ry = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None]).astype(jnp.int32)
+    gx = x[:, None] + rx  # (N, 512)
+    gy = y[:, None] + ry
+    gx = jnp.clip(gx, 0, W - 1)
+    gy = jnp.clip(gy, 0, H - 1)
+    idx = (level[:, None] * H + gy) * W + gx
+    vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape)  # (N, 512)
+    a = vals[:, 0::2]
+    b = vals[:, 1::2]
+    return (a < b).astype(jnp.uint8)  # (N, 256)
+
+
+_POW2 = (2 ** np.arange(8, dtype=np.uint32)).astype(np.uint32)
+
+
+def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(N, 256) {0,1} -> (N, 32) uint8 packed little-endian per byte."""
+    n = bits.shape[0]
+    b = bits.reshape(n, 32, 8).astype(jnp.uint32)
+    return jnp.sum(b * jnp.asarray(_POW2)[None, None, :], axis=-1).astype(jnp.uint8)
+
+
+def unpack_bits(packed: jnp.ndarray) -> jnp.ndarray:
+    """(N, 32) uint8 -> (N, 256) {0,1} uint8."""
+    n = packed.shape[0]
+    b = packed.astype(jnp.uint32)[:, :, None]
+    bits = (b >> jnp.arange(8, dtype=jnp.uint32)[None, None, :]) & 1
+    return bits.reshape(n, 256).astype(jnp.uint8)

@@ -1,0 +1,138 @@
+"""ORB extraction pipeline: pyramid -> FAST -> IC angle -> rotated BRIEF.
+
+Parity target: ORBextractor::operator() GPU route (ORBextractor.cc:1356-1445:
+ComputePyramidGPU :1522, ComputeKeyPointsOctTreeGPU :1229, descriptor pass,
+then scale coords to level 0). The whole extraction is ONE jitted function;
+keypoints, descriptors and the pyramid stay device-resident for the later
+stereo-match / search kernels, mirroring the reference's GPU residency
+(KernelController.cu:100-117).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fasttrack_tpu.ops.descriptor import brief_descriptors, pack_bits
+from fasttrack_tpu.ops.fast import FastConfig, fast_detect
+from fasttrack_tpu.ops.hamming import signed_descriptors
+from fasttrack_tpu.ops.orientation import ic_angles
+from fasttrack_tpu.ops.pyramid import Pyramid, PyramidConfig, build_pyramid
+
+
+class OrbConfig(NamedTuple):
+    height: int = 480
+    width: int = 752
+    n_features: int = 1024
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    ini_threshold: float = 20.0
+    min_threshold: float = 7.0
+
+    @property
+    def pyramid(self) -> PyramidConfig:
+        return PyramidConfig(self.height, self.width, self.n_levels, self.scale_factor)
+
+    @property
+    def fast(self) -> FastConfig:
+        return FastConfig(self.ini_threshold, self.min_threshold)
+
+    @functools.lru_cache(maxsize=None)
+    def per_level_features(self) -> tuple:
+        """Geometric feature budget per level (ORBextractor ctor:
+        nDesiredFeaturesPerScale with factor 1/scale)."""
+        factor = 1.0 / self.scale_factor
+        n0 = self.n_features * (1 - factor) / (1 - factor**self.n_levels)
+        ks = []
+        acc = 0
+        for l in range(self.n_levels - 1):
+            k = int(round(n0 * factor**l))
+            ks.append(k)
+            acc += k
+        ks.append(max(self.n_features - acc, 0))
+        return tuple(ks)
+
+    @property
+    def total_features(self) -> int:
+        return sum(self.per_level_features())
+
+
+class Keypoints(NamedTuple):
+    """Padded, fixed-capacity keypoint set (device-resident frame state)."""
+
+    x: jnp.ndarray        # (N,) float32, level-0 coords
+    y: jnp.ndarray        # (N,)
+    xl: jnp.ndarray       # (N,) int32, native level coords
+    yl: jnp.ndarray       # (N,) int32
+    level: jnp.ndarray    # (N,) int32 octave
+    angle: jnp.ndarray    # (N,) float32 radians
+    score: jnp.ndarray    # (N,) float32 FAST score
+    desc_signed: jnp.ndarray  # (N, 256) int8 +-1 — the MXU matching format
+    desc_packed: jnp.ndarray  # (N, 32) uint8 — storage format
+    valid: jnp.ndarray    # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def extract_orb(image: jnp.ndarray, config: OrbConfig):
+    """image (H, W) -> (Keypoints, Pyramid). Fully device-resident."""
+    pcfg = config.pyramid
+    pyr = build_pyramid(image, pcfg)
+    per_level = config.per_level_features()
+    fk = fast_detect(
+        pyr.raw, tuple(pcfg.level_sizes), per_level, config.fast
+    )
+    # Flatten per-level (L, K) slots into one (N,) set with static slices.
+    xs, ys, lv, sc, va = [], [], [], [], []
+    for l, k in enumerate(per_level):
+        xs.append(fk.x[l, :k])
+        ys.append(fk.y[l, :k])
+        lv.append(jnp.full((k,), l, dtype=jnp.int32))
+        sc.append(fk.score[l, :k])
+        va.append(fk.valid[l, :k])
+    xl = jnp.concatenate(xs)
+    yl = jnp.concatenate(ys)
+    level = jnp.concatenate(lv)
+    score = jnp.concatenate(sc)
+    valid = jnp.concatenate(va)
+
+    # Clamp invalid slots to a safe in-bounds location for the gathers.
+    safe_x = jnp.where(valid, xl, 16)
+    safe_y = jnp.where(valid, yl, 16)
+
+    angle = ic_angles(pyr.raw, safe_x, safe_y, level)
+    bits = brief_descriptors(pyr.blurred, safe_x, safe_y, level, angle)
+    bits = bits * valid[:, None].astype(bits.dtype)
+    scales = jnp.asarray(
+        [config.scale_factor**l for l in range(config.n_levels)], dtype=jnp.float32
+    )
+    s = scales[level]
+    kps = Keypoints(
+        x=xl.astype(jnp.float32) * s,
+        y=yl.astype(jnp.float32) * s,
+        xl=xl,
+        yl=yl,
+        level=level,
+        angle=angle,
+        score=score,
+        desc_signed=signed_descriptors(bits),
+        desc_packed=pack_bits(bits),
+        valid=valid,
+    )
+    return kps, pyr
+
+
+def make_extract_fn(config: OrbConfig):
+    """Returns a jitted image -> (Keypoints, Pyramid) closure."""
+
+    def fn(image):
+        return extract_orb(image, config)
+
+    return jax.jit(fn)

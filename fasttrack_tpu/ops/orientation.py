@@ -1,0 +1,56 @@
+"""Keypoint orientation: intensity-centroid (IC) angle.
+
+Parity target: src/orientation.cu:20-87 (compute_orientation_kernel) /
+ORBextractor.cc IC_Angle — moments m10, m01 over a radius-15 circular patch
+on the *raw* pyramid level, angle = atan2(m01, m10).
+
+TPU design: one (31, 31) dynamic-slice gather per keypoint, vmapped over the
+padded keypoint set; the circular mask and coordinate grids are constants
+folded into the kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HALF_PATCH = 15
+
+
+def _circle_mask() -> np.ndarray:
+    d = np.arange(-HALF_PATCH, HALF_PATCH + 1)
+    dy, dx = np.meshgrid(d, d, indexing="ij")
+    # Matches ORB's u_max table: |dx| <= round(sqrt(r^2 - dy^2)).
+    umax = np.round(np.sqrt(np.maximum(HALF_PATCH**2 - d.astype(np.float64) ** 2, 0.0)))
+    return (np.abs(dx) <= umax[dy + HALF_PATCH]).astype(np.float32)
+
+
+_MASK = _circle_mask()
+_D = np.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=np.float32)
+_DY, _DX = np.meshgrid(_D, _D, indexing="ij")
+
+
+def ic_angles(
+    levels: jnp.ndarray,   # (L, H, W) raw pyramid
+    x: jnp.ndarray,        # (N,) int32 level coords
+    y: jnp.ndarray,        # (N,)
+    level: jnp.ndarray,    # (N,) int32
+) -> jnp.ndarray:
+    """Returns angles in radians, (N,). Caller guarantees the patch is in
+    bounds (border >= 16 > HALF_PATCH)."""
+    mask = jnp.asarray(_MASK)
+    dxw = jnp.asarray(_DX) * mask
+    dyw = jnp.asarray(_DY) * mask
+
+    def one(xi, yi, li):
+        patch = jax.lax.dynamic_slice(
+            levels,
+            (li, yi - HALF_PATCH, xi - HALF_PATCH),
+            (1, 2 * HALF_PATCH + 1, 2 * HALF_PATCH + 1),
+        )[0]
+        m10 = jnp.sum(patch * dxw)
+        m01 = jnp.sum(patch * dyw)
+        return jnp.arctan2(m01, m10)
+
+    return jax.vmap(one)(x, y, level)

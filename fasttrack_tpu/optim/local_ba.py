@@ -1,0 +1,208 @@
+"""Local bundle adjustment: masked LM with Schur-complement reduction.
+
+Parity target: Optimizer::LocalBundleAdjustment (src/Optimizer.cc:1116):
+covisibility-window keyframes (free) + frontier keyframes (fixed) + their
+map points; 5 LM iterations, chi2 outlier removal (5.991 mono / 7.815
+stereo), 10 more iterations; g2o block solver with landmark marginalization.
+
+TPU-first design: the BA window is a dense fixed-shape problem —
+(L points) x (K cameras) observation grid with a validity mask. Jacobians
+come from one vmapped autodiff over observation pairs; the landmark blocks
+are eliminated in closed form (3x3 inverses, batched) and the reduced camera
+system (6K x 6K, K <= ~40) is a single dense solve. All of it is one jitted
+program; 'removing' an edge = zeroing its mask entry, so no graph surgery
+and no recompilation ever happens.
+
+The same routine covers GlobalBundleAdjustment (Optimizer.cc:60) — a global
+BA is just a BA window containing every keyframe (possibly solved in blocks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fasttrack_tpu.cameras.models import Camera, project
+from fasttrack_tpu.geometry import SE3, se3_apply, se3_compose, se3_exp
+from fasttrack_tpu.optim.robust import CHI2_MONO, CHI2_STEREO, huber_weight
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape local BA window.
+
+    K cameras (first `n_free` free, rest fixed), L landmarks,
+    dense (L, K) observation grid with mask.
+    """
+
+    poses: SE3                 # batched (K,): Tcw
+    points: jnp.ndarray        # (L, 3)
+    obs_uv: jnp.ndarray        # (L, K, 2)
+    obs_ur: jnp.ndarray        # (L, K) right-u; <0 => mono
+    inv_sigma2: jnp.ndarray    # (L, K)
+    mask: jnp.ndarray          # (L, K) bool
+    cam_free: jnp.ndarray      # (K,) bool — False for frontier keyframes
+    point_free: jnp.ndarray    # (L,) bool
+
+
+class BAResult(NamedTuple):
+    poses: SE3
+    points: jnp.ndarray
+    inlier_mask: jnp.ndarray   # (L, K) bool — post-chi2 classification
+    chi2: jnp.ndarray          # (L, K)
+
+
+def _residuals(poses: SE3, points, cam: Camera, bf, obs_uv, obs_ur):
+    """(L, K, 3) residuals [du, dv, dur]."""
+    Xc = se3_apply(
+        SE3(poses.R[None, :], poses.t[None, :]), points[:, None, :]
+    )  # (L, K, 3)
+    uv = project(cam, Xc)
+    z = jnp.maximum(Xc[..., 2], 1e-6)
+    ur = uv[..., 0] - bf / z
+    is_stereo = obs_ur >= 0
+    r = jnp.stack(
+        [
+            obs_uv[..., 0] - uv[..., 0],
+            obs_uv[..., 1] - uv[..., 1],
+            jnp.where(is_stereo, obs_ur - ur, 0.0),
+        ],
+        axis=-1,
+    )
+    behind = Xc[..., 2] <= 0.05
+    return r, behind
+
+
+@functools.partial(jax.jit, static_argnames=("phase1_iters", "phase2_iters"))
+def local_bundle_adjustment(
+    problem: BAProblem,
+    cam: Camera,
+    bf: jnp.ndarray,
+    phase1_iters: int = 5,
+    phase2_iters: int = 10,
+) -> BAResult:
+    L, K = problem.mask.shape
+    is_stereo = problem.obs_ur >= 0
+    delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+
+    def jacobians(poses, points):
+        """Per-observation J wrt (camera xi (6), point (3)) via autodiff."""
+
+        def res_one(xi, dX, R, t, X, uv, ur):
+            T = se3_compose(se3_exp(xi), SE3(R, t))
+            Xc = se3_apply(T, X + dX)
+            uvp = project(cam, Xc)
+            z = jnp.maximum(Xc[2], 1e-6)
+            urp = uvp[0] - bf / z
+            st = ur >= 0
+            return jnp.stack(
+                [uv[0] - uvp[0], uv[1] - uvp[1], jnp.where(st, ur - urp, 0.0)]
+            )
+
+        z6 = jnp.zeros(6, dtype=points.dtype)
+        z3 = jnp.zeros(3, dtype=points.dtype)
+
+        def pair(R, t, X, uv, ur):
+            Jc = jax.jacfwd(res_one, argnums=0)(z6, z3, R, t, X, uv, ur)
+            Jp = jax.jacfwd(res_one, argnums=1)(z6, z3, R, t, X, uv, ur)
+            return Jc, Jp
+
+        f = jax.vmap(  # over K
+            jax.vmap(pair, in_axes=(0, 0, None, 0, 0)),  # wait: order fixed below
+            in_axes=(None, None, 0, 0, 0),
+        )
+        Jc, Jp = f(poses.R, poses.t, points, problem.obs_uv, problem.obs_ur)
+        return Jc, Jp  # (L, K, 3, 6), (L, K, 3, 3)
+
+    def weights(r, inlier, use_robust):
+        chi2 = jnp.sum(r * r, axis=-1) * problem.inv_sigma2
+        w_rob = jnp.where(use_robust, huber_weight(chi2, delta2), 1.0)
+        return chi2, w_rob * problem.inv_sigma2 * inlier
+
+    def lm_iter(poses, points, inlier, lam, use_robust):
+        r, behind = _residuals(poses, points, cam, bf, problem.obs_uv, problem.obs_ur)
+        live = inlier * (~behind)
+        chi2, w = weights(r, live, use_robust)
+        Jc, Jp = jacobians(poses, points)
+
+        # Build blocks.
+        Hcc = jnp.einsum("lkri,lkrj,lk->kij", Jc, Jc, w)          # (K,6,6)
+        Hpp = jnp.einsum("lkri,lkrj,lk->lij", Jp, Jp, w)          # (L,3,3)
+        Hcp = jnp.einsum("lkri,lkrj,lk->lkij", Jc, Jp, w)         # (L,K,6,3)
+        bc = jnp.einsum("lkri,lkr,lk->ki", Jc, r, w)              # (K,6)
+        bp = jnp.einsum("lkri,lkr,lk->li", Jp, r, w)              # (L,3)
+
+        # Damping.
+        lamI6 = lam * jnp.eye(6, dtype=points.dtype)
+        lamI3 = lam * jnp.eye(3, dtype=points.dtype)
+        Hcc_d = Hcc + lamI6[None] + 1e-8 * jnp.eye(6)[None]
+        Hpp_d = Hpp + lamI3[None] + 1e-8 * jnp.eye(3)[None]
+
+        Hpp_inv = jnp.linalg.inv(Hpp_d)                            # (L,3,3)
+        # Reduced camera system S (K,K,6,6) and rhs.
+        W_ = jnp.einsum("lkij,ljm->lkim", Hcp, Hpp_inv)            # (L,K,6,3)
+        S_off = jnp.einsum("lkim,lqjm->kqij", W_, Hcp)             # (K,K,6,6)
+        S = -S_off
+        S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
+        rhs = bc - jnp.einsum("lkim,lm->ki", W_, bp)               # (K,6)
+
+        # Fixed cameras: identity rows/cols, zero rhs.
+        free = problem.cam_free
+        fmask = free[:, None] & free[None, :]
+        S = jnp.where(fmask[:, :, None, None], S, 0.0)
+        S = S.at[jnp.arange(K), jnp.arange(K)].set(
+            jnp.where(free[:, None, None], S[jnp.arange(K), jnp.arange(K)], jnp.eye(6)[None])
+        )
+        rhs = jnp.where(free[:, None], rhs, 0.0)
+
+        Sd = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+        dxc = jnp.linalg.solve(Sd, -rhs.reshape(-1)).reshape(K, 6)
+
+        # Back-substitute points: Hpp dxp = -bp - Hcp^T dxc.
+        rhs_p = -bp - jnp.einsum("lkij,ki->lj", Hcp, dxc)
+        dxp = jnp.einsum("lij,lj->li", Hpp_inv, rhs_p)
+        dxp = jnp.where(problem.point_free[:, None], dxp, 0.0)
+
+        poses_new = SE3(
+            *jax.vmap(lambda xi, R, t: se3_compose(se3_exp(xi), SE3(R, t)))(
+                dxc, poses.R, poses.t
+            )
+        )
+        points_new = points + dxp
+
+        # Accept/reject.
+        r_new, behind_new = _residuals(
+            poses_new, points_new, cam, bf, problem.obs_uv, problem.obs_ur
+        )
+        chi2_new, w_new = weights(r_new, inlier * (~behind_new), use_robust)
+        c_old = jnp.sum(chi2 * (w > 0))
+        c_new = jnp.sum(chi2_new * (w_new > 0))
+        accept = c_new < c_old
+        poses = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), poses_new, poses
+        )
+        points = jnp.where(accept, points_new, points)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        return poses, points, lam
+
+    poses, points = problem.poses, problem.points
+    inlier = problem.mask.astype(points.dtype)
+    lam = jnp.asarray(1e-4, points.dtype)
+
+    for _ in range(phase1_iters):
+        poses, points, lam = lm_iter(poses, points, inlier, lam, use_robust=True)
+
+    # chi2 outlier rejection between phases (Optimizer.cc LocalBA mid-check).
+    r, behind = _residuals(poses, points, cam, bf, problem.obs_uv, problem.obs_ur)
+    chi2 = jnp.sum(r * r, axis=-1) * problem.inv_sigma2
+    inlier = (problem.mask & (chi2 <= delta2) & (~behind)).astype(points.dtype)
+
+    for _ in range(phase2_iters):
+        poses, points, lam = lm_iter(poses, points, inlier, lam, use_robust=False)
+
+    r, behind = _residuals(poses, points, cam, bf, problem.obs_uv, problem.obs_ur)
+    chi2 = jnp.sum(r * r, axis=-1) * problem.inv_sigma2
+    final_inlier = problem.mask & (chi2 <= delta2) & (~behind)
+    return BAResult(poses, points, final_inlier, chi2)

@@ -1,0 +1,137 @@
+"""Map: one SLAM map of keyframes + map points (src/Map.cc).
+
+Includes the covisibility-update and spanning-tree logic the reference keeps
+in KeyFrame::UpdateConnections, plus ApplyScaledRotation for IMU
+initialization (Map.h:118) and the change index used for map-update
+detection (Map.h:111-114).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from fasttrack_tpu.slam_map.keyframe import KeyFrame
+from fasttrack_tpu.slam_map.mappoint import MapPoint
+
+
+class Map:
+    def __init__(self, map_id: int):
+        self.map_id = map_id
+        self.keyframes: dict[int, KeyFrame] = {}
+        self.mappoints: dict[int, MapPoint] = {}
+        self.reference_mappoint_ids: list[int] = []
+        self.change_index = 0
+        self.init_kf_id = 0
+        self.max_kf_id = 0
+        self.imu_initialized = False
+        self.iniertial_ba1 = False
+        self.iniertial_ba2 = False
+        self.is_inertial = False
+        self.lock = threading.RLock()  # the per-map mMutexMapUpdate
+
+    # --- content ------------------------------------------------------------
+    def add_keyframe(self, kf: KeyFrame):
+        self.keyframes[kf.kid] = kf
+        self.max_kf_id = max(self.max_kf_id, kf.kid)
+
+    def add_mappoint(self, mp: MapPoint):
+        self.mappoints[mp.mid] = mp
+
+    def erase_mappoint(self, mid: int):
+        mp = self.mappoints.pop(mid, None)
+        if mp is None:
+            return
+        mp.bad = True
+        for kf_id, idx in list(mp.observations.items()):
+            kf = self.keyframes.get(kf_id)
+            if kf is not None and 0 <= idx < len(kf.mp_ids) and kf.mp_ids[idx] == mid:
+                kf.mp_ids[idx] = -1
+
+    def erase_keyframe(self, kid: int):
+        """KeyFrame::SetBadFlag: detach observations, reparent children."""
+        kf = self.keyframes.get(kid)
+        if kf is None or kf.kid == self.init_kf_id:
+            return
+        for idx, mid in enumerate(kf.mp_ids):
+            if mid < 0:
+                continue
+            mp = self.mappoints.get(int(mid))
+            if mp is not None:
+                if mp.erase_observation(kid):
+                    self.erase_mappoint(mp.mid)
+        # remove covisibility back-links
+        for other_id in list(kf.covisible.keys()):
+            other = self.keyframes.get(other_id)
+            if other is not None:
+                other.covisible.pop(kid, None)
+        # reparent children to this KF's parent (simplified spanning tree
+        # update; the reference searches the best covisible candidate)
+        parent = self.keyframes.get(kf.parent_id) if kf.parent_id is not None else None
+        for child_id in kf.children:
+            child = self.keyframes.get(child_id)
+            if child is not None:
+                child.parent_id = kf.parent_id
+                if parent is not None:
+                    parent.children.add(child_id)
+        if parent is not None:
+            parent.children.discard(kid)
+        kf.bad = True
+        self.keyframes.pop(kid, None)
+
+    def n_keyframes(self) -> int:
+        return len(self.keyframes)
+
+    def n_mappoints(self) -> int:
+        return len(self.mappoints)
+
+    def info_changed(self):
+        self.change_index += 1
+
+    # --- covisibility (KeyFrame::UpdateConnections) -------------------------
+    def update_connections(self, kf: KeyFrame, min_weight: int = 15):
+        counter: dict[int, int] = {}
+        for mid in kf.mp_ids:
+            if mid < 0:
+                continue
+            mp = self.mappoints.get(int(mid))
+            if mp is None or mp.bad:
+                continue
+            for other_id in mp.observations:
+                if other_id != kf.kid:
+                    counter[other_id] = counter.get(other_id, 0) + 1
+        if not counter:
+            return
+        kf.covisible = {k: w for k, w in counter.items() if w >= min_weight}
+        if not kf.covisible:
+            best = max(counter.items(), key=lambda kv: kv[1])
+            kf.covisible = {best[0]: best[1]}
+        for other_id, w in kf.covisible.items():
+            other = self.keyframes.get(other_id)
+            if other is not None:
+                other.covisible[kf.kid] = w
+        # spanning tree: parent = best covisible with smaller id
+        if kf.parent_id is None and kf.kid != self.init_kf_id:
+            cands = [k for k in kf.covisible if k < kf.kid]
+            if cands:
+                parent_id = max(cands, key=lambda k: kf.covisible[k])
+                kf.parent_id = parent_id
+                parent = self.keyframes.get(parent_id)
+                if parent is not None:
+                    parent.children.add(kf.kid)
+
+    # --- IMU init alignment (Map::ApplyScaledRotation) ----------------------
+    def apply_scaled_rotation(self, R_gw: np.ndarray, scale: float,
+                              scale_velocities: bool = False):
+        """Rotate the gravity direction into -z and rescale: for every KF
+        pose Tcw = [Rcw, tcw]: Rcw' = Rcw R_gw^T, tcw' = s * tcw (translation
+        part), points X' = s * R_gw X."""
+        for kf in self.keyframes.values():
+            kf.R_cw = kf.R_cw @ R_gw.T
+            kf.t_cw = scale * kf.t_cw
+            if scale_velocities and kf.velocity is not None:
+                kf.velocity = scale * (R_gw @ kf.velocity)
+        for mp in self.mappoints.values():
+            mp.position = scale * (R_gw @ mp.position)
+        self.info_changed()

@@ -1,0 +1,244 @@
+"""System facade (src/System.cc): wires the whole pipeline and exposes the
+public tracking API + trajectory/atlas persistence.
+
+Mirrors the reference: ctor builds Atlas/Tracking/LocalMapping(/LoopClosing),
+TrackStereo / TrackRGBD / TrackMonocular entry points, Shutdown, trajectory
+savers in TUM / EuRoC / KITTI formats (System.cc:590-1285), Atlas save/load
+(System.cc:1424-1560 — pickle instead of boost archives).
+"""
+
+from __future__ import annotations
+
+import enum
+import pickle
+import time
+from typing import Optional
+
+import numpy as np
+
+from fasttrack_tpu.geometry.so3 import matrix_to_quat
+import jax.numpy as jnp
+
+from fasttrack_tpu.kernels import KernelConfig, get_run_mode
+from fasttrack_tpu.local_mapping import LocalMapper
+from fasttrack_tpu.ops.extractor import OrbConfig
+from fasttrack_tpu.settings import Settings
+from fasttrack_tpu.slam_map import Atlas
+from fasttrack_tpu.stats import Stats
+from fasttrack_tpu.tracking import Tracker, TrackingState
+
+
+class Sensor(enum.Enum):
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+    IMU_MONOCULAR = 3
+    IMU_STEREO = 4
+    IMU_RGBD = 5
+
+
+class System:
+    def __init__(
+        self,
+        settings: Settings,
+        sensor: Sensor = Sensor.STEREO,
+        kernel_config: Optional[KernelConfig] = None,
+        async_mapping: bool = False,
+        vocabulary=None,
+    ):
+        self.settings = settings
+        self.sensor = sensor
+        self.kcfg = kernel_config or get_run_mode()
+        self.stats = Stats()
+        self.atlas = Atlas()
+        self.atlas.add_camera(settings.camera1)
+
+        orb = OrbConfig(
+            height=settings.height,
+            width=settings.width,
+            n_features=settings.n_features,
+            n_levels=settings.n_levels,
+            scale_factor=settings.scale_factor,
+            ini_threshold=settings.ini_th_fast,
+            min_threshold=settings.min_th_fast,
+        )
+        self.local_mapper = LocalMapper(
+            self.atlas, settings.camera1, settings.bf,
+            settings.scale_factor, settings.n_levels,
+            run_async=async_mapping,
+        )
+        self.tracker = Tracker(
+            settings.camera1, orb, settings.bf, self.atlas,
+            kernel_config=self.kcfg, stats=self.stats,
+            local_mapper=self.local_mapper,
+            th_depth_factor=settings.th_depth,
+        )
+        self.loop_closer = None  # attached by attach_loop_closing()
+        if settings.load_atlas:
+            self.load_atlas(settings.load_atlas)
+
+    # ------------------------------------------------------------- tracking
+    def track_stereo(self, img_left, img_right, timestamp: float, imu=None):
+        if self.sensor not in (Sensor.STEREO, Sensor.IMU_STEREO):
+            raise RuntimeError("track_stereo called on non-stereo sensor config")
+        if imu:
+            self.tracker_grab_imu(imu)
+        return self.tracker.track_stereo(img_left, img_right, timestamp)
+
+    def track_monocular(self, img, timestamp: float, imu=None):
+        raise NotImplementedError("monocular pipeline lands with two-view init")
+
+    def tracker_grab_imu(self, imu_samples):
+        # queued for preintegration once the inertial front-end lands
+        pass
+
+    @property
+    def tracking_state(self) -> TrackingState:
+        return self.tracker.state
+
+    def shutdown(self):
+        self.local_mapper.stop()
+        if self.settings.save_atlas:
+            self.save_atlas(self.settings.save_atlas)
+
+    # ------------------------------------------------------------ trajectory
+    def _trajectory(self):
+        return self.tracker.trajectory
+
+    def save_trajectory_tum(self, path: str):
+        """System::SaveTrajectoryTUM: 't tx ty tz qx qy qz qw' of Twc."""
+        with open(path, "w") as f:
+            for ts, R_cw, t_cw in self._trajectory():
+                R_wc = R_cw.T
+                t_wc = -R_wc @ t_cw
+                q = np.asarray(matrix_to_quat(jnp.asarray(R_wc)))  # [w x y z]
+                f.write(
+                    f"{ts:.6f} {t_wc[0]:.7f} {t_wc[1]:.7f} {t_wc[2]:.7f} "
+                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+                )
+
+    def save_trajectory_euroc(self, path: str):
+        """System::SaveTrajectoryEuRoC: timestamps in ns, same quat order."""
+        with open(path, "w") as f:
+            for ts, R_cw, t_cw in self._trajectory():
+                R_wc = R_cw.T
+                t_wc = -R_wc @ t_cw
+                q = np.asarray(matrix_to_quat(jnp.asarray(R_wc)))
+                f.write(
+                    f"{ts*1e9:.0f} {t_wc[0]:.9f} {t_wc[1]:.9f} {t_wc[2]:.9f} "
+                    f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n"
+                )
+
+    def save_trajectory_kitti(self, path: str):
+        """System::SaveTrajectoryKITTI: 3x4 Twc row-major per line."""
+        with open(path, "w") as f:
+            for _, R_cw, t_cw in self._trajectory():
+                R_wc = R_cw.T
+                t_wc = -R_wc @ t_cw
+                M = np.hstack([R_wc, t_wc[:, None]])
+                f.write(" ".join(f"{x:.9e}" for x in M.reshape(-1)) + "\n")
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        kfs = sorted(self.atlas.current.keyframes.values(), key=lambda k: k.kid)
+        with open(path, "w") as f:
+            for kf in kfs:
+                R_wc, t_wc = kf.pose_wc()
+                q = np.asarray(matrix_to_quat(jnp.asarray(R_wc)))
+                f.write(
+                    f"{kf.timestamp:.6f} {t_wc[0]:.7f} {t_wc[1]:.7f} {t_wc[2]:.7f} "
+                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n"
+                )
+
+    def save_stats(self, directory: str):
+        self.stats.save(directory)
+
+    # ----------------------------------------------------------- atlas io
+    def save_atlas(self, path: str):
+        """System::SaveAtlas — pickle of the PreSave'd id-graph."""
+        state = {
+            "maps": [],
+            "next_ids": (
+                self.atlas._next_map_id,
+                self.atlas._next_kf_id,
+                self.atlas._next_mp_id,
+            ),
+        }
+        for m in self.atlas.maps:
+            state["maps"].append(
+                {
+                    "map_id": m.map_id,
+                    "init_kf_id": m.init_kf_id,
+                    "keyframes": {
+                        k.kid: {
+                            "frame_id": k.frame_id,
+                            "timestamp": k.timestamp,
+                            "R_cw": k.R_cw, "t_cw": k.t_cw,
+                            "kp_uv": k.kp_uv, "kp_level": k.kp_level,
+                            "kp_angle": k.kp_angle,
+                            "desc_packed": k.desc_packed,
+                            "desc_signed": k.desc_signed,
+                            "u_right": k.u_right, "depth": k.depth,
+                            "valid": k.valid, "mp_ids": k.mp_ids,
+                            "covisible": k.covisible,
+                            "parent_id": k.parent_id,
+                            "children": k.children,
+                        }
+                        for k in m.keyframes.values()
+                    },
+                    "mappoints": {
+                        p.mid: {
+                            "position": p.position,
+                            "normal": p.normal,
+                            "desc_packed": p.desc_packed,
+                            "desc_signed": p.desc_signed,
+                            "observations": p.observations,
+                            "ref_kf_id": p.ref_kf_id,
+                            "first_kf_id": p.first_kf_id,
+                            "min_distance": p.min_distance,
+                            "max_distance": p.max_distance,
+                        }
+                        for p in m.mappoints.values()
+                    },
+                }
+            )
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load_atlas(self, path: str):
+        from fasttrack_tpu.slam_map import KeyFrame, Map, MapPoint
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.atlas._maps.clear()
+        (self.atlas._next_map_id, self.atlas._next_kf_id,
+         self.atlas._next_mp_id) = state["next_ids"]
+        for md in state["maps"]:
+            m = Map(md["map_id"])
+            m.init_kf_id = md["init_kf_id"]
+            for kid, kd in md["keyframes"].items():
+                kf = KeyFrame(
+                    kid, kd["frame_id"], kd["timestamp"], kd["R_cw"], kd["t_cw"],
+                    kd["kp_uv"], kd["kp_level"], kd["kp_angle"],
+                    kd["desc_packed"], kd["desc_signed"], kd["u_right"],
+                    kd["depth"], kd["valid"],
+                )
+                kf.mp_ids = kd["mp_ids"]
+                kf.covisible = kd["covisible"]
+                kf.parent_id = kd["parent_id"]
+                kf.children = kd["children"]
+                m.add_keyframe(kf)
+            for mid, pd in md["mappoints"].items():
+                mp = MapPoint(mid, pd["position"], pd["ref_kf_id"], pd["first_kf_id"])
+                mp.normal = pd["normal"]
+                mp.desc_packed = pd["desc_packed"]
+                mp.desc_signed = pd["desc_signed"]
+                mp.observations = pd["observations"]
+                mp.min_distance = pd["min_distance"]
+                mp.max_distance = pd["max_distance"]
+                m.add_mappoint(mp)
+            self.atlas._maps.append(m)
+        if self.atlas._maps:
+            self.atlas.current = self.atlas._maps[-1]
+            if self.atlas.current.keyframes:
+                self.tracker.ref_kf_id = max(self.atlas.current.keyframes)
+                self.tracker.state = TrackingState.RECENTLY_LOST

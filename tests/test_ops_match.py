@@ -1,0 +1,152 @@
+"""Tests for search-by-projection, rectified stereo, and fisheye matching."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fasttrack_tpu.ops import extract_orb, OrbConfig
+from fasttrack_tpu.ops.hamming import signed_descriptors
+from fasttrack_tpu.ops.project_match import (
+    MatchResult,
+    resolve_duplicates,
+    rotation_consistency,
+    search_by_projection,
+)
+from fasttrack_tpu.ops.stereo_match import match_fisheye, match_rectified
+
+
+def rand_desc(rng, n):
+    return signed_descriptors(jnp.asarray(rng.integers(0, 2, size=(n, 256)).astype(np.uint8)))
+
+
+class TestSearchByProjection:
+    def make_frame(self, rng, n=128):
+        uv = rng.uniform(20, 300, size=(n, 2)).astype(np.float32)
+        desc = rand_desc(rng, n)
+        level = rng.integers(0, 4, size=n).astype(np.int32)
+        return jnp.asarray(uv), desc, jnp.asarray(level), jnp.ones(n, bool)
+
+    def test_exact_recovery(self, rng):
+        kp_uv, kp_desc, kp_level, kp_valid = self.make_frame(rng)
+        sel = np.arange(0, 128, 3)
+        q_uv = kp_uv[sel] + jnp.asarray(rng.uniform(-2, 2, size=(len(sel), 2)).astype(np.float32))
+        res = search_by_projection(
+            q_uv, kp_desc[sel], jnp.full(len(sel), 4.0),
+            kp_level[sel], kp_level[sel], jnp.ones(len(sel), bool),
+            kp_uv, kp_desc, kp_level, kp_valid,
+        )
+        assert bool(res.ok.all())
+        np.testing.assert_array_equal(np.asarray(res.idx), sel)
+        assert int(res.dist.max()) == 0
+
+    def test_radius_gate(self, rng):
+        kp_uv, kp_desc, kp_level, kp_valid = self.make_frame(rng)
+        q_uv = kp_uv[:8] + 50.0  # displaced beyond the radius
+        res = search_by_projection(
+            q_uv, kp_desc[:8], jnp.full(8, 4.0),
+            jnp.zeros(8, jnp.int32), jnp.full(8, 10, jnp.int32), jnp.ones(8, bool),
+            kp_uv, kp_desc, kp_level, kp_valid,
+        )
+        assert not bool(res.ok.any())
+
+    def test_level_gate(self, rng):
+        kp_uv, kp_desc, kp_level, kp_valid = self.make_frame(rng)
+        sel = np.where(np.asarray(kp_level) == 2)[0][:8]
+        lo = jnp.full(len(sel), 3, jnp.int32)  # excludes level 2
+        res = search_by_projection(
+            kp_uv[sel], kp_desc[sel], jnp.full(len(sel), 4.0),
+            lo, jnp.full(len(sel), 4, jnp.int32), jnp.ones(len(sel), bool),
+            kp_uv, kp_desc, kp_level, kp_valid,
+        )
+        # the exact-duplicate kp is excluded by level; any other kp within
+        # radius 4 with a random descriptor will rarely pass TH_HIGH
+        assert int(res.ok.sum()) <= 1
+
+    def test_taken_mask(self, rng):
+        kp_uv, kp_desc, kp_level, kp_valid = self.make_frame(rng)
+        taken = jnp.zeros(128, bool).at[5].set(True)
+        res = search_by_projection(
+            kp_uv[5:6], kp_desc[5:6], jnp.full(1, 4.0),
+            kp_level[5:6], kp_level[5:6], jnp.ones(1, bool),
+            kp_uv, kp_desc, kp_level, kp_valid, kp_taken=taken,
+        )
+        assert not bool(res.ok[0])
+
+    def test_ratio_rejects_ambiguous(self, rng):
+        # Two near-identical keypoints on the same level near the query:
+        # best=10, second=11 bits away -> 10 > 0.8*11 -> rejected.
+        base = rng.integers(0, 2, size=(1, 256)).astype(np.uint8)
+        k1 = base.copy(); k1[0, :10] ^= 1
+        k2 = base.copy(); k2[0, 20:31] ^= 1
+        far = rng.integers(0, 2, size=(2, 256)).astype(np.uint8)
+        desc = signed_descriptors(jnp.asarray(base))
+        kp_uv = jnp.asarray([[100.0, 100.0], [103.0, 100.0], [200.0, 200.0], [250.0, 250.0]])
+        kp_desc = signed_descriptors(jnp.asarray(np.concatenate([k1, k2, far])))
+        kp_level = jnp.zeros(4, jnp.int32)
+        res = search_by_projection(
+            kp_uv[:1], desc[:1], jnp.full(1, 8.0),
+            jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
+            kp_uv, kp_desc, kp_level, jnp.ones(4, bool), ratio=0.8,
+        )
+        assert not bool(res.ok[0])
+
+    def test_rotation_consistency(self, rng):
+        n = 64
+        kp_uv, kp_desc, kp_level, kp_valid = self.make_frame(rng, n)
+        res = search_by_projection(
+            kp_uv, kp_desc, jnp.full(n, 4.0),
+            kp_level, kp_level, jnp.ones(n, bool),
+            kp_uv, kp_desc, kp_level, kp_valid,
+        )
+        kp_angle = jnp.asarray(rng.uniform(0, 2 * np.pi, size=n).astype(np.float32))
+        q_angle = kp_angle + 0.3  # consistent rotation
+        q_angle = q_angle.at[:5].add(2.0)  # 5 outliers
+        keep = rotation_consistency(q_angle, kp_angle, res)
+        kept = np.asarray(keep)
+        assert kept[5:].all()
+        assert not kept[:5].any()
+
+    def test_resolve_duplicates(self):
+        idx = jnp.asarray([3, 3, 7], jnp.int32)
+        dist = jnp.asarray([10, 4, 9], jnp.int32)
+        ok = jnp.asarray([True, True, True])
+        keep = np.asarray(resolve_duplicates(MatchResult(idx, dist, ok), 16))
+        np.testing.assert_array_equal(keep, [False, True, True])
+
+
+class TestRectifiedStereo:
+    def test_constant_disparity(self, rng):
+        cfg = OrbConfig(height=240, width=320, n_features=256, n_levels=4)
+        small = rng.integers(0, 256, size=(30, 40))
+        img = np.kron(small, np.ones((8, 8))).astype(np.float32)
+        disp = 16.0
+        img_r = np.roll(img, -int(disp), axis=1)
+        kl, pl = extract_orb(jnp.asarray(img), cfg)
+        kr, pr = extract_orb(jnp.asarray(img_r), cfg)
+        scale_factors = jnp.asarray([cfg.scale_factor**l for l in range(4)])
+        bf = jnp.asarray(100.0)
+        res = match_rectified(
+            jnp.stack([kl.x, kl.y], -1), kl.level, kl.desc_signed, kl.valid,
+            jnp.stack([kr.x, kr.y], -1), kr.level, kr.desc_signed, kr.valid,
+            pl.raw, pr.raw, kl.xl, kl.yl, scale_factors, bf, bf / 100.0,
+        )
+        valid = np.asarray(res.valid)
+        assert valid.sum() > 30
+        d = np.asarray(kl.x) - np.asarray(res.u_right)
+        err = np.abs(d[valid] - disp)
+        assert np.median(err) < 0.6
+        depths = np.asarray(res.depth)[valid]
+        np.testing.assert_allclose(np.median(depths), 100.0 / disp, rtol=0.05)
+
+
+class TestFisheye:
+    def test_identity_matching(self, rng):
+        d = rand_desc(rng, 64)
+        res = match_fisheye(d, jnp.ones(64, bool), d, jnp.ones(64, bool))
+        assert bool(res.valid.all())
+        np.testing.assert_array_equal(np.asarray(res.idx_right), np.arange(64))
+
+    def test_ratio_rejects_duplicates(self, rng):
+        d = rand_desc(rng, 8)
+        d_dup = jnp.concatenate([d, d[:1]], axis=0)  # right has a duplicate of 0
+        res = match_fisheye(d[:1], jnp.ones(1, bool), d_dup, jnp.ones(9, bool))
+        assert not bool(res.valid[0])

@@ -1,0 +1,120 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: distributed BA
+(landmark sharding + psum'd Schur system) and sharded frame extraction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fasttrack_tpu.cameras import make_pinhole, project
+from fasttrack_tpu.geometry import SE3, se3_apply, se3_compose, se3_exp, se3_inverse, se3_log
+from fasttrack_tpu.optim import BAProblem
+from fasttrack_tpu.parallel import (
+    distributed_ba_iteration,
+    make_mesh,
+    sharded_extract_batch,
+)
+from fasttrack_tpu.ops import OrbConfig
+
+CAM = make_pinhole(458.0, 457.0, 376.0, 240.0, 752, 480)
+BF = jnp.asarray(47.9)
+
+
+def make_problem(rng, K=4, L=128):
+    X = np.stack(
+        [
+            rng.uniform(-4, 4, size=L),
+            rng.uniform(-3, 3, size=L),
+            rng.uniform(4, 12, size=L),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    poses = [se3_exp(jnp.asarray([0.15 * k, 0, 0, 0, 0.02 * k, 0], jnp.float32)) for k in range(K)]
+    P_true = SE3(jnp.stack([p.R for p in poses]), jnp.stack([p.t for p in poses]))
+    Xc = se3_apply(SE3(P_true.R[None], P_true.t[None]), jnp.asarray(X)[:, None])
+    uv = project(CAM, Xc)
+    ur = uv[..., 0] - BF / Xc[..., 2]
+    mask = (
+        (uv[..., 0] > 0) & (uv[..., 0] < 752) & (uv[..., 1] > 0) & (uv[..., 1] < 480)
+    )
+    cam_free = jnp.asarray([k >= 1 for k in range(K)])
+    rng2 = np.random.default_rng(7)
+    P0 = SE3(
+        jnp.stack(
+            [
+                se3_compose(
+                    se3_exp(
+                        jnp.asarray(rng2.normal(size=6).astype(np.float32))
+                        * (0.02 if k >= 1 else 0.0)
+                    ),
+                    SE3(P_true.R[k], P_true.t[k]),
+                ).R
+                for k in range(K)
+            ]
+        ),
+        jnp.stack(
+            [
+                se3_compose(
+                    se3_exp(
+                        jnp.asarray(rng2.normal(size=6).astype(np.float32))
+                        * (0.02 if k >= 1 else 0.0)
+                    ),
+                    SE3(P_true.R[k], P_true.t[k]),
+                ).t
+                for k in range(K)
+            ]
+        ),
+    )
+    X0 = jnp.asarray(X + rng.normal(size=X.shape).astype(np.float32) * 0.05)
+    prob = BAProblem(
+        poses=P0, points=X0, obs_uv=uv, obs_ur=ur,
+        inv_sigma2=jnp.ones((L, K)), mask=mask,
+        cam_free=cam_free, point_free=jnp.ones(L, bool),
+    )
+    return prob, P_true, jnp.asarray(X)
+
+
+class TestDistributedBA:
+    def test_converges_on_8_device_mesh(self, rng):
+        assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+        mesh = make_mesh(8)
+        prob, P_true, X_true = make_problem(rng)
+        poses, points = prob.poses, prob.points
+        lam = 1e-4
+        for _ in range(12):
+            poses, points = distributed_ba_iteration(
+                prob._replace(poses=poses, points=points), CAM, BF, mesh, lam
+            )
+        for k in range(1, 4):
+            err = np.asarray(
+                se3_log(
+                    se3_compose(
+                        SE3(poses.R[k], poses.t[k]),
+                        se3_inverse(SE3(P_true.R[k], P_true.t[k])),
+                    )
+                )
+            )
+            assert np.abs(err).max() < 1e-3, (k, err)
+        seen = np.asarray(prob.mask).sum(1) >= 3
+        pt_err = np.linalg.norm(np.asarray(points - X_true), axis=-1)
+        assert np.median(pt_err[seen]) < 1e-2
+
+    def test_matches_single_device(self, rng):
+        prob, _, _ = make_problem(rng)
+        mesh1 = make_mesh(1)
+        mesh8 = make_mesh(8)
+        p1, x1 = distributed_ba_iteration(prob, CAM, BF, mesh1)
+        p8, x8 = distributed_ba_iteration(prob, CAM, BF, mesh8)
+        # f32 psum reduction order differs between shardings: ~1e-4 noise.
+        np.testing.assert_allclose(np.asarray(p1.t), np.asarray(p8.t), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x8), atol=1e-3)
+
+
+class TestShardedExtraction:
+    def test_batch_extract_over_mesh(self, rng):
+        mesh = make_mesh(8)
+        cfg = OrbConfig(height=96, width=128, n_features=64, n_levels=2)
+        small = rng.integers(0, 256, size=(8, 12, 16))
+        imgs = np.kron(small, np.ones((1, 8, 8))).astype(np.float32)
+        kps = sharded_extract_batch(jnp.asarray(imgs), cfg, mesh)
+        assert kps.x.shape[0] == 8
+        assert int(kps.valid.sum()) > 8 * 10

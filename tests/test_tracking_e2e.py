@@ -1,0 +1,118 @@
+"""End-to-end stereo tracking on a synthetic rendered sequence.
+
+The SLAM equivalent of the reference's dataset evaluation (SURVEY.md 4):
+render a stereo sequence with exact ground truth, run the full System
+(extraction -> stereo -> motion-model tracking -> local map -> keyframes ->
+local BA), and regression-check the absolute trajectory error.
+"""
+
+import numpy as np
+import pytest
+
+from fasttrack_tpu.cameras import make_pinhole
+from fasttrack_tpu.datasets.synthetic import generate_sequence
+from fasttrack_tpu.evaluation import absolute_trajectory_error
+from fasttrack_tpu.kernels import KernelConfig
+from fasttrack_tpu.settings import Settings
+from fasttrack_tpu.system import Sensor, System
+from fasttrack_tpu.tracking import TrackingState
+
+
+def make_system(seq, pose_optimization=True, async_mapping=False):
+    s = Settings()
+    s.width = seq.frames[0].left.shape[1]
+    s.height = seq.frames[0].left.shape[0]
+    s.camera1 = make_pinhole(seq.fx, seq.fy, seq.cx, seq.cy, s.width, s.height)
+    s.bf = seq.fx * seq.baseline
+    s.baseline = seq.baseline
+    # ThDepth=60 (EuRoC configs use 35-60): the synthetic plane sits at ~6 m,
+    # which must count as "close" for stereo keyframe insertion logic.
+    s.th_depth = 60.0
+    s.n_features = 512
+    s.n_levels = 4
+    return System(
+        s,
+        Sensor.STEREO,
+        kernel_config=KernelConfig(pose_optimization=pose_optimization),
+        async_mapping=async_mapping,
+    )
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return generate_sequence(n_frames=30, h=240, w=320, seed=3)
+
+
+class TestStereoTrackingE2E:
+    def test_tracks_sequence_with_low_ate(self, seq):
+        sys = make_system(seq)
+        for fr in seq.frames:
+            sys.track_stereo(fr.left, fr.right, fr.timestamp)
+        assert sys.tracking_state == TrackingState.OK
+        traj = sys.tracker.trajectory
+        assert len(traj) >= len(seq.frames) - 2  # first frame initializes
+
+        t_est = np.asarray([t for t, _, _ in traj])
+        p_est = np.asarray([-R.T @ t_ for _, R, t_ in traj])
+        ate = absolute_trajectory_error(t_est, p_est, seq.gt_t, seq.gt_pos)
+        # Stereo gives metric scale; demand centimetre-level ATE on this
+        # easy textured-plane scene.
+        assert ate["rmse"] < 0.05, ate
+        # scale should be close to metric even when not optimized for
+        assert sys.atlas.current.n_keyframes() >= 2
+
+    def test_bypass_pose_optimization_mode(self, seq):
+        """The FastTrack ablation: pose optimization off in TrackLocalMap
+        (Tracking.cc:3080-3106). Tracking should survive, with worse ATE."""
+        sys = make_system(seq, pose_optimization=False)
+        for fr in seq.frames:
+            sys.track_stereo(fr.left, fr.right, fr.timestamp)
+        assert sys.tracking_state == TrackingState.OK
+
+    def test_stats_recorded(self, seq, tmp_path):
+        sys = make_system(seq)
+        for fr in seq.frames[:6]:
+            sys.track_stereo(fr.left, fr.right, fr.timestamp)
+        summ = sys.stats.summary()
+        assert "tracking_total" in summ and summ["tracking_total"]["n"] >= 5
+        assert "orb_extraction" in summ
+        sys.save_stats(str(tmp_path))
+        assert (tmp_path / "data" / "tracking_total.txt").exists()
+        assert (tmp_path / "summary.json").exists()
+
+    def test_trajectory_savers(self, seq, tmp_path):
+        sys = make_system(seq)
+        for fr in seq.frames[:8]:
+            sys.track_stereo(fr.left, fr.right, fr.timestamp)
+        for name, fn in [
+            ("tum.txt", sys.save_trajectory_tum),
+            ("euroc.txt", sys.save_trajectory_euroc),
+            ("kitti.txt", sys.save_trajectory_kitti),
+            ("kf.txt", sys.save_keyframe_trajectory_tum),
+        ]:
+            path = tmp_path / name
+            fn(str(path))
+            lines = path.read_text().strip().splitlines()
+            assert len(lines) >= 1
+        tum = (tmp_path / "tum.txt").read_text().splitlines()[0].split()
+        assert len(tum) == 8
+        kitti = (tmp_path / "kitti.txt").read_text().splitlines()[0].split()
+        assert len(kitti) == 12
+
+    def test_atlas_roundtrip(self, seq, tmp_path):
+        sys = make_system(seq)
+        for fr in seq.frames[:10]:
+            sys.track_stereo(fr.left, fr.right, fr.timestamp)
+        n_kf = sys.atlas.current.n_keyframes()
+        n_mp = sys.atlas.current.n_mappoints()
+        path = str(tmp_path / "atlas.pkl")
+        sys.save_atlas(path)
+        sys2 = make_system(seq)
+        sys2.load_atlas(path)
+        assert sys2.atlas.current.n_keyframes() == n_kf
+        assert sys2.atlas.current.n_mappoints() == n_mp
+        kf0 = min(sys.atlas.current.keyframes)
+        np.testing.assert_allclose(
+            sys2.atlas.current.keyframes[kf0].t_cw,
+            sys.atlas.current.keyframes[kf0].t_cw,
+        )
