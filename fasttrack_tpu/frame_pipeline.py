@@ -1,4 +1,9 @@
-"""The jitted per-frame front-end: images -> device-resident FrameData.
+"""The per-frame front-end: images -> device-resident FrameData.
+
+Stage functions are individually jitted; the orchestration is Python.
+One mega-jit of the whole frame is deliberately avoided: XLA's fusion of
+the full pipeline measured ~6x SLOWER than the sum of its stages on a v5e
+(and took >10 min to compile); per-call dispatch is ~40 us, negligible.
 
 Parity target: the Frame constructor hot path (Frame.cc:115-170): parallel
 L/R ORB extraction (two std::threads, Frame.cc:127-130) + GPU stereo matching
@@ -35,7 +40,6 @@ class FrameData(NamedTuple):
     n_valid: jnp.ndarray    # () int32
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
 def process_mono_frame(image: jnp.ndarray, config: OrbConfig) -> FrameData:
     kps, _ = extract_orb(image, config)
     n = kps.capacity
@@ -43,7 +47,24 @@ def process_mono_frame(image: jnp.ndarray, config: OrbConfig) -> FrameData:
     return FrameData(kps, None, neg, neg, jnp.sum(kps.valid.astype(jnp.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+def process_rgbd_frame(
+    image: jnp.ndarray,
+    depth_map: jnp.ndarray,   # (H, W) metric depth, <=0 invalid
+    config: OrbConfig,
+    bf: jnp.ndarray,
+) -> FrameData:
+    """RGB-D frame (Frame.cc RGBD ctor): mono extraction + depth lookup at
+    keypoint locations; synthetic right coordinate u_r = u - bf/z."""
+    kps, _ = extract_orb(image, config)
+    xi = jnp.clip(kps.x.astype(jnp.int32), 0, config.width - 1)
+    yi = jnp.clip(kps.y.astype(jnp.int32), 0, config.height - 1)
+    z = depth_map[yi, xi]
+    has_depth = kps.valid & (z > 0)
+    u_right = jnp.where(has_depth, kps.x - bf / jnp.maximum(z, 1e-6), -1.0)
+    depth = jnp.where(has_depth, z, -1.0)
+    return FrameData(kps, None, u_right, depth, jnp.sum(kps.valid.astype(jnp.int32)))
+
+
 def process_stereo_frame(
     image_left: jnp.ndarray,
     image_right: jnp.ndarray,
@@ -51,18 +72,17 @@ def process_stereo_frame(
     bf: jnp.ndarray,
     min_z: jnp.ndarray,
 ) -> FrameData:
-    """Rectified stereo frame: batched L/R extraction + stereo depth."""
-    images = jnp.stack([image_left, image_right])
-    kps2, pyr2 = jax.vmap(lambda im: extract_orb(im, config))(images)
-    kl = jax.tree_util.tree_map(lambda a: a[0], kps2)
-    kr = jax.tree_util.tree_map(lambda a: a[1], kps2)
+    """Rectified stereo frame: flat 2-camera extraction + stereo depth."""
+    from fasttrack_tpu.ops.extractor import extract_orb_pair
+
+    kl, kr, pyr_l, pyr_r = extract_orb_pair(image_left, image_right, config)
     scale_factors = jnp.asarray(
         [config.scale_factor**l for l in range(config.n_levels)], dtype=jnp.float32
     )
     sm: StereoMatches = match_rectified(
         jnp.stack([kl.x, kl.y], -1), kl.level, kl.desc_signed, kl.valid,
         jnp.stack([kr.x, kr.y], -1), kr.level, kr.desc_signed, kr.valid,
-        pyr2.raw[0], pyr2.raw[1], kl.xl, kl.yl, scale_factors, bf, min_z,
+        pyr_l.raw, pyr_r.raw, kl.xl, kl.yl, scale_factors, bf, min_z,
     )
     return FrameData(
         kl, kr, sm.u_right, sm.depth, jnp.sum(kl.valid.astype(jnp.int32))

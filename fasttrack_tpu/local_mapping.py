@@ -31,13 +31,14 @@ BA_MAX_POINTS = 2048
 class LocalMapper:
     def __init__(self, atlas: Atlas, camera: Camera, bf: float,
                  scale_factor: float = 1.2, n_levels: int = 8,
-                 run_async: bool = False):
+                 run_async: bool = False, loop_closer=None):
         self.atlas = atlas
         self.camera = camera
         self.bf = float(bf)
         self.scale_factor = scale_factor
         self.n_levels = n_levels
         self.inv_sigma2 = 1.0 / (scale_factor ** (2 * np.arange(n_levels)))
+        self.loop_closer = loop_closer
         self.recent_mp_ids: list[tuple[int, int]] = []  # (mp_id, first_kf)
         self.run_async = run_async
         self.abort_ba = False
@@ -90,9 +91,12 @@ class LocalMapper:
         self.abort_ba = False
         self._track_new_points(kf)
         self._cull_recent_mappoints(kf)
+        self._create_new_mappoints(kf)
         if m.n_keyframes() > 2:
             self._local_ba(kf)
             self._cull_keyframes(kf)
+        if self.loop_closer is not None and kf.kid in m.keyframes:
+            self.loop_closer.insert_keyframe(kf)
 
     def _track_new_points(self, kf: KeyFrame):
         """Register only map points CREATED at this keyframe for the culling
@@ -129,6 +133,109 @@ class LocalMapper:
             else:
                 survivors.append((mid, first_kf))
         self.recent_mp_ids = survivors
+
+    # ------------------------------------------------- new point creation
+    def _create_new_mappoints(self, kf: KeyFrame, n_neighbors: int = 10):
+        """Epipolar triangulation of unmatched features with covisible
+        keyframes (LocalMapping::CreateNewMapPoints, LocalMapping.cc:388).
+        The stereo tracker also creates points from depth; this adds the
+        far/mono points and is the ONLY source of points in monocular mode."""
+        import jax.numpy as jnp
+
+        from fasttrack_tpu.cameras.stereo import triangulate_two_view
+        from fasttrack_tpu.geometry import SE3, se3_compose, se3_inverse
+        from fasttrack_tpu.ops.project_match import epipolar_match
+        from fasttrack_tpu.slam_map import MapPoint
+
+        m = self.atlas.current
+        p = np.asarray(self.camera.params)
+        fx, fy, cx, cy = p[:4]
+        Kmat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        Kinv = np.linalg.inv(Kmat)
+        sigma2 = self.inv_sigma2  # note: inv; variance = 1/inv
+        created = 0
+        for nid in kf.best_covisible(n_neighbors):
+            nb = m.keyframes.get(nid)
+            if nb is None:
+                continue
+            # baseline check (LocalMapping.cc:437): skip near-identical views
+            baseline = np.linalg.norm(kf.center - nb.center)
+            if baseline < 0.01:
+                continue
+            # fundamental F12 with x2^T F x1 = 0 (1 = neighbor, 2 = current):
+            R1, t1 = nb.R_cw, nb.t_cw
+            R2, t2 = kf.R_cw, kf.t_cw
+            R21 = R2 @ R1.T
+            t21 = t2 - R21 @ t1
+            tx = np.array([[0, -t21[2], t21[1]], [t21[2], 0, -t21[0]], [-t21[1], t21[0], 0]])
+            E = tx @ R21
+            F12 = Kinv.T @ E @ Kinv
+
+            free1 = (nb.mp_ids < 0) & nb.valid
+            free2 = (kf.mp_ids < 0) & kf.valid
+            var2 = (1.0 / sigma2)[kf.kp_level]
+            idx2, keep = epipolar_match(
+                jnp.asarray(nb.kp_uv), jnp.asarray(nb.desc_signed), jnp.asarray(free1),
+                jnp.asarray(kf.kp_uv), jnp.asarray(kf.desc_signed), jnp.asarray(free2),
+                jnp.asarray(F12.astype(np.float32)),
+                jnp.asarray(var2.astype(np.float32)),
+            )
+            keep = np.asarray(keep)
+            idx2 = np.asarray(idx2)
+            if not keep.any():
+                continue
+            i1 = np.where(keep)[0]
+            i2 = idx2[i1]
+            # triangulate in neighbor frame then move to world
+            r1 = np.stack([(nb.kp_uv[i1, 0] - cx) / fx, (nb.kp_uv[i1, 1] - cy) / fy,
+                           np.ones(len(i1))], -1)
+            r2 = np.stack([(kf.kp_uv[i2, 0] - cx) / fx, (kf.kp_uv[i2, 1] - cy) / fy,
+                           np.ones(len(i2))], -1)
+            T21 = SE3(jnp.asarray(R21.astype(np.float32)), jnp.asarray(t21.astype(np.float32)))
+            X1 = np.asarray(triangulate_two_view(
+                jnp.asarray(r1.astype(np.float32)), jnp.asarray(r2.astype(np.float32)), T21
+            ))
+            # validations: finite, in front, parallax, reprojection
+            z1 = X1[:, 2]
+            X2 = X1 @ R21.T + t21
+            z2 = X2[:, 2]
+            d1 = X1 / np.maximum(np.linalg.norm(X1, axis=1, keepdims=True), 1e-9)
+            C2in1 = -R21.T @ t21
+            v2 = X1 - C2in1
+            d2 = v2 / np.maximum(np.linalg.norm(v2, axis=1, keepdims=True), 1e-9)
+            cosp = np.sum(d1 * d2, axis=1)
+            pr1 = (X1 @ Kmat.T)
+            pr1 = pr1[:, :2] / np.maximum(pr1[:, 2:], 1e-9)
+            pr2 = (X2 @ Kmat.T)
+            pr2 = pr2[:, :2] / np.maximum(pr2[:, 2:], 1e-9)
+            e1 = ((pr1 - nb.kp_uv[i1]) ** 2).sum(1) * sigma2[nb.kp_level[i1]]
+            e2 = ((pr2 - kf.kp_uv[i2]) ** 2).sum(1) * sigma2[kf.kp_level[i2]]
+            good = (
+                np.isfinite(X1).all(1) & (z1 > 0) & (z2 > 0)
+                & (cosp < 0.9998) & (e1 < 5.991) & (e2 < 5.991)
+            )
+            R1w = nb.R_cw.T
+            t1w = nb.center
+            for k in np.where(good)[0]:
+                a, b = int(i1[k]), int(i2[k])
+                if nb.mp_ids[a] >= 0 or kf.mp_ids[b] >= 0:
+                    continue
+                Xw = R1w @ X1[k] + t1w
+                mp = MapPoint(self.atlas.next_mp_id(), Xw, kf.kid, kf.kid)
+                mp.add_observation(nb.kid, a)
+                mp.add_observation(kf.kid, b)
+                mp.desc_packed = kf.desc_packed[b]
+                mp.desc_signed = kf.desc_signed[b]
+                mp.update_normal_and_depth(
+                    {nb.kid: nb.center, kf.kid: kf.center}, kf.center,
+                    int(kf.kp_level[b]), self.scale_factor, self.n_levels,
+                )
+                nb.mp_ids[a] = mp.mid
+                kf.mp_ids[b] = mp.mid
+                m.add_mappoint(mp)
+                self.recent_mp_ids.append((mp.mid, kf.kid))
+                created += 1
+        return created
 
     # ------------------------------------------------------------- local BA
     def _local_ba(self, kf: KeyFrame):

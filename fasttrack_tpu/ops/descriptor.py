@@ -50,6 +50,60 @@ def brief_descriptors(
     return (a < b).astype(jnp.uint8)  # (N, 256)
 
 
+# ---- patch-based descriptor path (the fast TPU route) ----------------------
+#
+# Rotation is quantized to N_ANGLE_BINS; per bin the rotated 512 sample
+# points become a constant 0/1 sampling matrix over the flattened patch, so
+# sampling ALL keypoints for ALL bins is a single bf16 MXU einsum, and the
+# per-keypoint bin select is a small gather. 22.5-degree bins cost <1 bit of
+# extra Hamming noise vs continuous rotation (pattern points are rounded to
+# integer pixels either way).
+
+N_ANGLE_BINS = 16
+PATCH_HALF_EXT = 20  # patch half-size: covers rotated samples (13*sqrt2<19)
+
+
+def _binned_sampling_matrices() -> np.ndarray:
+    """(N_ANGLE_BINS, 512, P*P) 0/1 sampling matrices over the flat patch."""
+    P = 2 * PATCH_HALF_EXT + 1
+    pat = PATTERN.reshape(-1, 2).astype(np.float64)  # (512, 2) [x, y]
+    mats = np.zeros((N_ANGLE_BINS, 512, P * P), np.float32)
+    for b in range(N_ANGLE_BINS):
+        a = 2 * np.pi * b / N_ANGLE_BINS
+        ca, sa = np.cos(a), np.sin(a)
+        rx = np.round(pat[:, 0] * ca - pat[:, 1] * sa).astype(np.int64)
+        ry = np.round(pat[:, 0] * sa + pat[:, 1] * ca).astype(np.int64)
+        rx = np.clip(rx, -PATCH_HALF_EXT, PATCH_HALF_EXT)
+        ry = np.clip(ry, -PATCH_HALF_EXT, PATCH_HALF_EXT)
+        idx = (ry + PATCH_HALF_EXT) * P + (rx + PATCH_HALF_EXT)
+        mats[b, np.arange(512), idx] = 1.0
+    return mats
+
+
+_SAMPLING = _binned_sampling_matrices()
+
+
+def brief_from_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """patches (N, P, P) blurred intensity, angle (N,) radians ->
+    (N, 256) {0,1} bit matrix. One MXU einsum over all angle bins."""
+    n = patches.shape[0]
+    flat = patches.reshape(n, -1).astype(jnp.bfloat16)
+    S = jnp.asarray(_SAMPLING, jnp.bfloat16)  # (A, 512, P*P)
+    allbins = jnp.einsum(
+        "asp,np->ans", S, flat, preferred_element_type=jnp.float32
+    )  # (A, N, 512)
+    frac = (angle / (2 * jnp.pi)) % 1.0
+    bins = jnp.clip(
+        jnp.round(frac * N_ANGLE_BINS).astype(jnp.int32) % N_ANGLE_BINS,
+        0,
+        N_ANGLE_BINS - 1,
+    )
+    vals = jnp.take_along_axis(allbins, bins[None, :, None], axis=0)[0]  # (N, 512)
+    a = vals[:, 0::2]
+    b = vals[:, 1::2]
+    return (a < b).astype(jnp.uint8)
+
+
 _POW2 = (2 ** np.arange(8, dtype=np.uint32)).astype(np.uint32)
 
 

@@ -104,11 +104,22 @@ def extract_orb(image: jnp.ndarray, config: OrbConfig):
     valid = jnp.concatenate(va)
 
     # Clamp invalid slots to a safe in-bounds location for the gathers.
-    safe_x = jnp.where(valid, xl, 16)
-    safe_y = jnp.where(valid, yl, 16)
+    from fasttrack_tpu.ops.descriptor import PATCH_HALF_EXT, brief_from_patches
+    from fasttrack_tpu.ops.orientation import (
+        extract_patches,
+        ic_angles_from_patches,
+    )
 
-    angle = ic_angles(pyr.raw, safe_x, safe_y, level)
-    bits = brief_descriptors(pyr.blurred, safe_x, safe_y, level, angle)
+    ph = PATCH_HALF_EXT
+    safe_x = jnp.where(valid, jnp.clip(xl, ph, pcfg.width - ph - 1), ph)
+    safe_y = jnp.where(valid, jnp.clip(yl, ph, pcfg.height - ph - 1), ph)
+
+    # ONE patch gather per keypoint feeds IC-angle, BRIEF sampling, and the
+    # stereo sub-pixel refinement (persistent device residency, the
+    # reference's KernelController.cu:100-117 idea taken further).
+    patches = extract_patches(pyr.blurred, safe_x, safe_y, level, ph)
+    angle = ic_angles_from_patches(patches)
+    bits = brief_from_patches(patches, angle)
     bits = bits * valid[:, None].astype(bits.dtype)
     scales = jnp.asarray(
         [config.scale_factor**l for l in range(config.n_levels)], dtype=jnp.float32
@@ -127,6 +138,83 @@ def extract_orb(image: jnp.ndarray, config: OrbConfig):
         valid=valid,
     )
     return kps, pyr
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def extract_orb_pair(image_left: jnp.ndarray, image_right: jnp.ndarray,
+                     config: OrbConfig):
+    """Extract ORB for BOTH stereo images in one flat pipeline.
+
+    The pyramids are stacked into a (2L, H, W) level tensor so FAST,
+    patch-gather, IC-angle and BRIEF all run once over 2N keypoints —
+    an outer vmap over cameras would batch the per-keypoint dynamic slices
+    into scatter-gathers that are ~10x slower on TPU.
+    Returns (kps_left, kps_right, pyr_left, pyr_right).
+    """
+    from fasttrack_tpu.ops.descriptor import PATCH_HALF_EXT, brief_from_patches
+    from fasttrack_tpu.ops.orientation import extract_patches, ic_angles_from_patches
+
+    pcfg = config.pyramid
+    L = pcfg.n_levels
+    pyr_l = build_pyramid(image_left, pcfg)
+    pyr_r = build_pyramid(image_right, pcfg)
+    raw2 = jnp.concatenate([pyr_l.raw, pyr_r.raw], axis=0)       # (2L, H, W)
+    blur2 = jnp.concatenate([pyr_l.blurred, pyr_r.blurred], axis=0)
+
+    per_level = config.per_level_features()
+    sizes2 = tuple(pcfg.level_sizes) * 2
+    per_level2 = per_level * 2
+    fk = fast_detect(raw2, sizes2, per_level2, config.fast)
+
+    xs, ys, lv, sc, va = [], [], [], [], []
+    for l2 in range(2 * L):
+        k = per_level2[l2]
+        xs.append(fk.x[l2, :k])
+        ys.append(fk.y[l2, :k])
+        lv.append(jnp.full((k,), l2, dtype=jnp.int32))  # absolute level idx
+        sc.append(fk.score[l2, :k])
+        va.append(fk.valid[l2, :k])
+    xl = jnp.concatenate(xs)
+    yl = jnp.concatenate(ys)
+    lvl2 = jnp.concatenate(lv)
+    score = jnp.concatenate(sc)
+    valid = jnp.concatenate(va)
+
+    ph = PATCH_HALF_EXT
+    safe_x = jnp.where(valid, jnp.clip(xl, ph, pcfg.width - ph - 1), ph)
+    safe_y = jnp.where(valid, jnp.clip(yl, ph, pcfg.height - ph - 1), ph)
+    patches = extract_patches(blur2, safe_x, safe_y, lvl2, ph)
+    angle = ic_angles_from_patches(patches)
+    bits = brief_from_patches(patches, angle)
+    bits = bits * valid[:, None].astype(bits.dtype)
+    signed = signed_descriptors(bits)
+    packed = pack_bits(bits)
+
+    scales = jnp.asarray(
+        [config.scale_factor**l for l in range(L)], dtype=jnp.float32
+    )
+    level = lvl2 % L
+    s = scales[level]
+
+    n = config.total_features
+    def cam_slice(a, c):
+        return a[c * n:(c + 1) * n]
+
+    out = []
+    for c in range(2):
+        out.append(Keypoints(
+            x=cam_slice(xl, c).astype(jnp.float32) * cam_slice(s, c),
+            y=cam_slice(yl, c).astype(jnp.float32) * cam_slice(s, c),
+            xl=cam_slice(xl, c),
+            yl=cam_slice(yl, c),
+            level=cam_slice(level, c),
+            angle=cam_slice(angle, c),
+            score=cam_slice(score, c),
+            desc_signed=cam_slice(signed, c),
+            desc_packed=cam_slice(packed, c),
+            valid=cam_slice(valid, c),
+        ))
+    return out[0], out[1], pyr_l, pyr_r
 
 
 def make_extract_fn(config: OrbConfig):

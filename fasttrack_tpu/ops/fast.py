@@ -43,7 +43,10 @@ class FastConfig(NamedTuple):
     min_threshold: float = 7.0    # minThFAST
     cell: int = 8                 # suppression cell for compaction
     retry_cell: int = 32          # dual-threshold decision cell (~reference's 35px grid)
-    border: int = 16              # EDGE_THRESHOLD - 3 (ORBextractor.cc minBorder)
+    # Keypoint border: the reference uses EDGE_THRESHOLD-3=16 for FAST and
+    # clamps descriptor samples at image borders; we instead exclude the
+    # 41x41 descriptor-patch margin outright.
+    border: int = 21
 
 
 def _rot16(m: jnp.ndarray, k: int) -> jnp.ndarray:

