@@ -2,8 +2,15 @@
 
 Stage functions are individually jitted; the orchestration is Python.
 One mega-jit of the whole frame is deliberately avoided: XLA's fusion of
-the full pipeline measured ~6x SLOWER than the sum of its stages on a v5e
-(and took >10 min to compile); per-call dispatch is ~40 us, negligible.
+extraction+matching into one program measured ~16x SLOWER than the two
+programs run back to back (73 ms vs 4.6 ms on the bench chip — pathological
+fusion of the patch gathers with the upstream pyramid); per-program dispatch
+is ~40 us, negligible.
+
+Equally important: there must be ZERO eager jnp ops between the jitted
+stages — each eager op is its own synchronous XLA program and costs
+~20-40 ms over a remote-device link (measured), ~500x a jitted dispatch.
+Every stack/concat/sum lives inside one of the stage programs.
 
 Parity target: the Frame constructor hot path (Frame.cc:115-170): parallel
 L/R ORB extraction (two std::threads, Frame.cc:127-130) + GPU stereo matching
@@ -40,6 +47,7 @@ class FrameData(NamedTuple):
     n_valid: jnp.ndarray    # () int32
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def process_mono_frame(image: jnp.ndarray, config: OrbConfig) -> FrameData:
     kps, _ = extract_orb(image, config)
     n = kps.capacity
@@ -47,6 +55,7 @@ def process_mono_frame(image: jnp.ndarray, config: OrbConfig) -> FrameData:
     return FrameData(kps, None, neg, neg, jnp.sum(kps.valid.astype(jnp.int32)))
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def process_rgbd_frame(
     image: jnp.ndarray,
     depth_map: jnp.ndarray,   # (H, W) metric depth, <=0 invalid
@@ -65,6 +74,28 @@ def process_rgbd_frame(
     return FrameData(kps, None, u_right, depth, jnp.sum(kps.valid.astype(jnp.int32)))
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _stereo_match_stage(
+    kl: Keypoints,
+    kr: Keypoints,
+    pyr_l_raw: jnp.ndarray,
+    pyr_r_raw: jnp.ndarray,
+    config: OrbConfig,
+    bf: jnp.ndarray,
+    min_z: jnp.ndarray,
+):
+    """Stereo matching + refinement as ONE program (all glue inside)."""
+    scale_factors = jnp.asarray(
+        [config.scale_factor**l for l in range(config.n_levels)], dtype=jnp.float32
+    )
+    sm: StereoMatches = match_rectified(
+        jnp.stack([kl.x, kl.y], -1), kl.level, kl.desc_signed, kl.valid,
+        jnp.stack([kr.x, kr.y], -1), kr.level, kr.desc_signed, kr.valid,
+        pyr_l_raw, pyr_r_raw, kl.xl, kl.yl, scale_factors, bf, min_z,
+    )
+    return sm, jnp.sum(kl.valid.astype(jnp.int32))
+
+
 def process_stereo_frame(
     image_left: jnp.ndarray,
     image_right: jnp.ndarray,
@@ -72,18 +103,16 @@ def process_stereo_frame(
     bf: jnp.ndarray,
     min_z: jnp.ndarray,
 ) -> FrameData:
-    """Rectified stereo frame: flat 2-camera extraction + stereo depth."""
+    """Rectified stereo frame: flat 2-camera extraction + stereo depth.
+
+    Exactly two compiled programs (extract, match) — fusing them into one
+    is pathological (see module docstring), and any eager glue between them
+    costs 20-40 ms/op over a remote device link.
+    """
     from fasttrack_tpu.ops.extractor import extract_orb_pair
 
     kl, kr, pyr_l, pyr_r = extract_orb_pair(image_left, image_right, config)
-    scale_factors = jnp.asarray(
-        [config.scale_factor**l for l in range(config.n_levels)], dtype=jnp.float32
+    sm, n_valid = _stereo_match_stage(
+        kl, kr, pyr_l.raw, pyr_r.raw, config, bf, min_z
     )
-    sm: StereoMatches = match_rectified(
-        jnp.stack([kl.x, kl.y], -1), kl.level, kl.desc_signed, kl.valid,
-        jnp.stack([kr.x, kr.y], -1), kr.level, kr.desc_signed, kr.valid,
-        pyr_l.raw, pyr_r.raw, kl.xl, kl.yl, scale_factors, bf, min_z,
-    )
-    return FrameData(
-        kl, kr, sm.u_right, sm.depth, jnp.sum(kl.valid.astype(jnp.int32))
-    )
+    return FrameData(kl, kr, sm.u_right, sm.depth, n_valid)

@@ -85,20 +85,27 @@ _SAMPLING = _binned_sampling_matrices()
 
 def brief_from_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     """patches (N, P, P) blurred intensity, angle (N,) radians ->
-    (N, 256) {0,1} bit matrix. One MXU einsum over all angle bins."""
+    (N, 256) {0,1} bit matrix.
+
+    ONE MXU matmul (N, P*P) @ (P*P, A*512) computes the sampled values for
+    every angle bin, then a take_along_axis picks each keypoint's bin.
+    (The einsum form "asp,np->ans" lowered to a transposed batch matmul that
+    measured ~350 ms on the bench chip; this layout runs in ~1 ms.)"""
     n = patches.shape[0]
-    flat = patches.reshape(n, -1).astype(jnp.bfloat16)
-    S = jnp.asarray(_SAMPLING, jnp.bfloat16)  # (A, 512, P*P)
-    allbins = jnp.einsum(
-        "asp,np->ans", S, flat, preferred_element_type=jnp.float32
-    )  # (A, N, 512)
+    flat = patches.reshape(n, -1).astype(jnp.bfloat16)          # (N, P*P)
+    S = jnp.asarray(
+        _SAMPLING.reshape(N_ANGLE_BINS * 512, -1).T, jnp.bfloat16
+    )                                                            # (P*P, A*512)
+    allbins = jax.lax.dot_general(
+        flat, S, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(n, N_ANGLE_BINS, 512)                              # (N, A, 512)
     frac = (angle / (2 * jnp.pi)) % 1.0
     bins = jnp.clip(
         jnp.round(frac * N_ANGLE_BINS).astype(jnp.int32) % N_ANGLE_BINS,
         0,
         N_ANGLE_BINS - 1,
     )
-    vals = jnp.take_along_axis(allbins, bins[None, :, None], axis=0)[0]  # (N, 512)
+    vals = jnp.take_along_axis(allbins, bins[:, None, None], axis=1)[:, 0]  # (N, 512)
     a = vals[:, 0::2]
     b = vals[:, 1::2]
     return (a < b).astype(jnp.uint8)

@@ -154,12 +154,13 @@ def extract_orb_pair(image_left: jnp.ndarray, image_right: jnp.ndarray,
     from fasttrack_tpu.ops.descriptor import PATCH_HALF_EXT, brief_from_patches
     from fasttrack_tpu.ops.orientation import extract_patches, ic_angles_from_patches
 
+    from fasttrack_tpu.ops.pyramid import Pyramid, build_pyramid_pair
+
     pcfg = config.pyramid
     L = pcfg.n_levels
-    pyr_l = build_pyramid(image_left, pcfg)
-    pyr_r = build_pyramid(image_right, pcfg)
-    raw2 = jnp.concatenate([pyr_l.raw, pyr_r.raw], axis=0)       # (2L, H, W)
-    blur2 = jnp.concatenate([pyr_l.blurred, pyr_r.blurred], axis=0)
+    raw2, blur2 = build_pyramid_pair(image_left, image_right, pcfg)  # (2L, H, W)
+    pyr_l = Pyramid(raw2[:L], blur2[:L], pcfg)
+    pyr_r = Pyramid(raw2[L:], blur2[L:], pcfg)
 
     per_level = config.per_level_features()
     sizes2 = tuple(pcfg.level_sizes) * 2

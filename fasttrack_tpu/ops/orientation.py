@@ -11,6 +11,8 @@ folded into the kernel.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,16 +50,38 @@ def extract_patches(
     return jax.vmap(one)(level, y, x)
 
 
+def _moment_weights(patch_size: int) -> np.ndarray:
+    """(P*P, 2) weights: flat-patch inner product -> (m10, m01). The 31x31
+    circular moment window is embedded centered in the P x P patch."""
+    ph = patch_size // 2
+    wx = np.zeros((patch_size, patch_size), np.float32)
+    wy = np.zeros((patch_size, patch_size), np.float32)
+    lo = ph - HALF_PATCH
+    hi = ph + HALF_PATCH + 1
+    wx[lo:hi, lo:hi] = _DX * _MASK
+    wy[lo:hi, lo:hi] = _DY * _MASK
+    return np.stack([wx.reshape(-1), wy.reshape(-1)], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _moment_weights_np(patch_size: int) -> np.ndarray:
+    # Cache the NumPy constant only — caching a jnp array would leak tracers
+    # across jit scopes; jnp.asarray of a constant folds inside each jit.
+    return _moment_weights(patch_size)
+
+
 def ic_angles_from_patches(patches: jnp.ndarray) -> jnp.ndarray:
     """IC angle from pre-gathered patches with center at the middle; the
-    patch may be larger than the 31x31 moment window."""
-    ph = patches.shape[-1] // 2
-    lo, hi = ph - HALF_PATCH, ph + HALF_PATCH + 1
-    win = patches[:, lo:hi, lo:hi]
-    mask = jnp.asarray(_MASK)
-    m10 = jnp.sum(win * (jnp.asarray(_DX) * mask)[None], axis=(-1, -2))
-    m01 = jnp.sum(win * (jnp.asarray(_DY) * mask)[None], axis=(-1, -2))
-    return jnp.arctan2(m01, m10)
+    patch may be larger than the 31x31 moment window. ONE (N, P*P) @ (P*P, 2)
+    MXU matmul (float32: moments are sums of ~700 pixel values — bf16 would
+    cost ~3 bits of mantissa and visibly perturb angles)."""
+    n, P, _ = patches.shape
+    w = jnp.asarray(_moment_weights_np(P))
+    m = jax.lax.dot_general(
+        patches.reshape(n, -1), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, 2) = (m10, m01)
+    return jnp.arctan2(m[:, 1], m[:, 0])
 
 
 def ic_angles(
