@@ -118,14 +118,22 @@ def local_bundle_adjustment(
 
     def weights(r, inlier, use_robust):
         chi2 = jnp.sum(r * r, axis=-1) * problem.inv_sigma2
+        # Masked/degenerate entries can be inf/NaN; select them out (0 * inf
+        # would be NaN, so jnp.where, not multiplication).
+        chi2 = jnp.where(inlier > 0, chi2, 0.0)
         w_rob = jnp.where(use_robust, huber_weight(chi2, delta2), 1.0)
         return chi2, w_rob * problem.inv_sigma2 * inlier
 
     def lm_iter(poses, points, inlier, lam, use_robust):
         r, behind = _residuals(poses, points, cam, bf, problem.obs_uv, problem.obs_ur)
         live = inlier * (~behind)
+        r = jnp.where(live[..., None] > 0, r, 0.0)
         chi2, w = weights(r, live, use_robust)
         Jc, Jp = jacobians(poses, points)
+        # Dead observations may have inf/NaN Jacobians (points at a camera
+        # center in padded slots); zero them by selection before the einsums.
+        Jc = jnp.where(live[..., None, None] > 0, Jc, 0.0)
+        Jp = jnp.where(live[..., None, None] > 0, Jp, 0.0)
 
         # Build blocks.
         Hcc = jnp.einsum("lkri,lkrj,lk->kij", Jc, Jc, w)          # (K,6,6)
