@@ -327,14 +327,18 @@ class LocalMapper:
         inl = np.asarray(res.inlier_mask)
         from fasttrack_tpu.nputils import orthonormalize
 
+        # A diverged solve (all steps rejected, or float32 overflow in a
+        # degenerate window) can leave non-finite entries; never write those
+        # back into the map.
         for kid, j in kf_index.items():
-            if cam_free[j]:
+            if cam_free[j] and np.isfinite(R_new[j]).all() and np.isfinite(t_new[j]).all():
                 m.keyframes[kid].set_pose(orthonormalize(R_new[j]), t_new[j])
         for li, mid in enumerate(mp_ids):
             mp = m.mappoints.get(mid)
             if mp is None:
                 continue
-            mp.position = pts_new[li]
+            if np.isfinite(pts_new[li]).all():
+                mp.position = pts_new[li]
             for kid, fi in list(mp.observations.items()):
                 j = kf_index.get(kid)
                 if j is None or not mask[li, j]:

@@ -126,7 +126,9 @@ def local_bundle_adjustment(
 
     def lm_iter(poses, points, inlier, lam, use_robust):
         r, behind = _residuals(poses, points, cam, bf, problem.obs_uv, problem.obs_ur)
-        live = inlier * (~behind)
+        # Residuals can overflow to inf in float32 for exploded points; such
+        # observations must be fully dead or inf*0 -> NaN poisons the einsums.
+        live = inlier * (~behind) * jnp.isfinite(r).all(axis=-1)
         r = jnp.where(live[..., None] > 0, r, 0.0)
         chi2, w = weights(r, live, use_robust)
         Jc, Jp = jacobians(poses, points)
@@ -134,6 +136,8 @@ def local_bundle_adjustment(
         # center in padded slots); zero them by selection before the einsums.
         Jc = jnp.where(live[..., None, None] > 0, Jc, 0.0)
         Jp = jnp.where(live[..., None, None] > 0, Jp, 0.0)
+        Jc = jnp.where(jnp.isfinite(Jc), Jc, 0.0)
+        Jp = jnp.where(jnp.isfinite(Jp), Jp, 0.0)
 
         # Build blocks.
         Hcc = jnp.einsum("lkri,lkrj,lk->kij", Jc, Jc, w)          # (K,6,6)
@@ -187,7 +191,8 @@ def local_bundle_adjustment(
         chi2_new, w_new = weights(r_new, inlier * (~behind_new), use_robust)
         c_old = jnp.sum(chi2 * (w > 0))
         c_new = jnp.sum(chi2_new * (w_new > 0))
-        accept = c_new < c_old
+        step_ok = jnp.isfinite(dxc).all() & jnp.isfinite(dxp).all()
+        accept = (c_new < c_old) & step_ok
         poses = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), poses_new, poses
         )
