@@ -96,6 +96,78 @@ def _stereo_match_stage(
     return sm, jnp.sum(kl.valid.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _search_optimize_stage(
+    kl: Keypoints,
+    u_right: jnp.ndarray,
+    config: OrbConfig,
+    bf: jnp.ndarray,
+    cam,                      # cameras.models.Camera (pytree)
+    T0,                       # geometry.SE3 initial pose guess
+    map_uv: jnp.ndarray,      # (M, 2) projected map-point positions
+    map_desc: jnp.ndarray,    # (M, 256) int8
+    map_pos: jnp.ndarray,     # (M, 3) world positions
+    map_radius: jnp.ndarray,  # (M,) search radii
+    map_lmin: jnp.ndarray,    # (M,) int32
+    map_lmax: jnp.ndarray,    # (M,) int32
+    map_ok: jnp.ndarray,      # (M,) bool
+):
+    """Search-by-projection + association gather + motion-only pose
+    optimization as ONE program (all glue inside; no host round-trips).
+
+    Kept SEPARATE from the stereo-match program: fusing the stereo refine's
+    patch gathers with downstream consumers is pathological for XLA on this
+    hardware (measured 4x; same family of blow-up as the extraction+match
+    mega-fusion documented in the module docstring)."""
+    from fasttrack_tpu.ops.project_match import search_by_projection
+    from fasttrack_tpu.optim.pose_opt import pose_optimize
+
+    scale_factors = jnp.asarray(
+        [config.scale_factor**l for l in range(config.n_levels)], dtype=jnp.float32
+    )
+    res = search_by_projection(
+        map_uv, map_desc, map_radius, map_lmin, map_lmax, map_ok,
+        jnp.stack([kl.x, kl.y], -1), kl.desc_signed, kl.level, kl.valid,
+    )
+    obs_uv = jnp.stack([kl.x[res.idx], kl.y[res.idx]], -1)
+    obs_ur = u_right[res.idx]
+    inv_sigma2 = 1.0 / (scale_factors[kl.level[res.idx]] ** 2)
+    opt = pose_optimize(
+        cam, bf, T0, map_pos, obs_uv, obs_ur, inv_sigma2, res.ok
+    )
+    return res, opt
+
+
+def tracking_hot_path(
+    image_left: jnp.ndarray,
+    image_right: jnp.ndarray,
+    config: OrbConfig,
+    bf: jnp.ndarray,
+    min_z: jnp.ndarray,
+    cam,
+    T0,
+    map_uv, map_desc, map_pos, map_radius, map_lmin, map_lmax, map_ok,
+):
+    """The full per-frame tracking hot path in exactly THREE device programs
+    (extract; stereo-match; search+optimize) with zero eager glue between
+    them — the configuration bench.py measures. This program split is the
+    TPU's answer to the reference's persistent device residency
+    (KernelController.cu:100-117): all intermediates stay on device, and the
+    split points are chosen where XLA fusion across the boundary is
+    pathological rather than helpful."""
+    from fasttrack_tpu.ops.extractor import extract_orb_pair
+
+    kl, kr, pyr_l, pyr_r = extract_orb_pair(image_left, image_right, config)
+    sm, n_valid = _stereo_match_stage(
+        kl, kr, pyr_l.raw, pyr_r.raw, config, bf, min_z
+    )
+    res, opt = _search_optimize_stage(
+        kl, sm.u_right, config, bf, cam, T0,
+        map_uv, map_desc, map_pos, map_radius, map_lmin, map_lmax, map_ok,
+    )
+    return FrameData(kl, kr, sm.u_right, sm.depth, n_valid), res, opt
+
+
 def process_stereo_frame(
     image_left: jnp.ndarray,
     image_right: jnp.ndarray,

@@ -64,12 +64,17 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 3) rotation -> (..., 3) tangent. Handles theta near 0 and pi."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    # arccos' blows up at +-1 (d/dc = -1/sqrt(1-c^2)); the inertial residual
+    # (optim.inertial) differentiates through so3_log at near-identity
+    # rotations, and jacfwd propagates the inf through BOTH where-branches.
+    # Clip the arccos input so the derivative stays finite; the small/near-pi
+    # branches below already own those regimes value-wise.
+    theta = jnp.arccos(jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7))
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # sin(theta) * axis
 
     # Generic branch: phi = theta / sin(theta) * w  (stable away from 0, pi).
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, _EPS * _EPS))
-    small = theta < 1e-4
+    small = theta < 1e-3  # clipped arccos floors theta at ~4.5e-4
     factor = jnp.where(small, 1.0 + theta * theta / 6.0, theta / sin_theta)
     phi_generic = factor[..., None] * w
 

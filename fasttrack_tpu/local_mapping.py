@@ -28,10 +28,46 @@ BA_MAX_KFS = 16
 BA_MAX_POINTS = 2048
 
 
+def _merge_preintegrated(a, b):
+    """Compose host preintegration snapshots: A (prev->mid) then B
+    (mid->next) -> (prev->next). Analytic composition of the deltas and
+    bias Jacobians (the reference re-integrates stored measurements,
+    ImuTypes::MergePrevious; measurements aren't retained here so the
+    first-order composition is used; covariance is summed, a conservative
+    upper bound)."""
+    import types
+
+    def hat(v):
+        return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+    dR = a.dR @ b.dR
+    dV = a.dV + a.dR @ b.dV
+    dP = a.dP + a.dV * b.dT + a.dR @ b.dP
+    JRg = b.dR.T @ a.JRg + b.JRg
+    JVg = a.JVg - a.dR @ hat(b.dV) @ a.JRg + a.dR @ b.JVg
+    JVa = a.JVa + a.dR @ b.JVa
+    JPg = a.JPg + a.JVg * b.dT - a.dR @ hat(b.dP) @ a.JRg + a.dR @ b.JPg
+    JPa = a.JPa + a.JVa * b.dT + a.dR @ b.JPa
+    return types.SimpleNamespace(
+        dT=a.dT + b.dT, dR=dR, dV=dV, dP=dP,
+        JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa,
+        C=a.C + b.C, b0=a.b0,
+    )
+
+
+def _body_from_cam_np(R_cw, t_cw, R_bc, t_bc):
+    """Host body pose from camera pose (X_b = R_bc X_c + t_bc convention):
+    R_wb = R_wc R_bc^T, p_w = -R_wc t_cw - R_wb t_bc."""
+    R_wc = R_cw.T
+    R_wb = R_wc @ R_bc.T
+    return R_wb, -R_wc @ t_cw - R_wb @ t_bc
+
+
 class LocalMapper:
     def __init__(self, atlas: Atlas, camera: Camera, bf: float,
                  scale_factor: float = 1.2, n_levels: int = 8,
-                 run_async: bool = False, loop_closer=None):
+                 run_async: bool = False, loop_closer=None,
+                 imu_calib=None, tracker=None, monocular: bool = False):
         self.atlas = atlas
         self.camera = camera
         self.bf = float(bf)
@@ -39,6 +75,11 @@ class LocalMapper:
         self.n_levels = n_levels
         self.inv_sigma2 = 1.0 / (scale_factor ** (2 * np.arange(n_levels)))
         self.loop_closer = loop_closer
+        self.imu_calib = imu_calib          # enables the inertial back-end
+        self.tracker = tracker              # for IMU-init state sync
+        self.monocular = monocular
+        self.imu_init_kfs = 6               # KFs needed before InitializeIMU
+        self.viba2_done = False
         self.recent_mp_ids: list[tuple[int, int]] = []  # (mp_id, first_kf)
         self.run_async = run_async
         self.abort_ba = False
@@ -93,8 +134,13 @@ class LocalMapper:
         self._cull_recent_mappoints(kf)
         self._create_new_mappoints(kf)
         if m.n_keyframes() > 2:
-            self._local_ba(kf)
+            if self.imu_calib is not None and m.imu_initialized:
+                self._local_inertial_ba(kf)
+            else:
+                self._local_ba(kf)
             self._cull_keyframes(kf)
+        if self.imu_calib is not None and not m.imu_initialized:
+            self._try_initialize_imu(kf)
         if self.loop_closer is not None and kf.kid in m.keyframes:
             self.loop_closer.insert_keyframe(kf)
 
@@ -352,14 +398,289 @@ class LocalMapper:
                         break
         m.info_changed()
 
+    # ------------------------------------------------------- inertial backend
+    def _temporal_chain(self, kf: KeyFrame, max_len: int = 64):
+        """Walk prev_kf_id links back from ``kf`` (oldest first)."""
+        m = self.atlas.current
+        chain = [kf]
+        cur = kf
+        while cur.prev_kf_id is not None and len(chain) < max_len:
+            prev = m.keyframes.get(cur.prev_kf_id)
+            if prev is None:
+                break
+            chain.append(prev)
+            cur = prev
+        chain.reverse()
+        return chain
+
+    def _try_initialize_imu(self, kf: KeyFrame, min_span_s: float = 2.0):
+        """LocalMapping::InitializeIMU (LocalMapping.cc:1173): once enough
+        keyframes with preintegration exist, estimate gyro bias, gravity,
+        velocities (and scale for monocular) in closed form
+        (imu.init.initialize_imu replaces InertialOptimization,
+        Optimizer.cc:3042), align the map gravity to -z via
+        ApplyScaledRotation, and hand the state back to the tracker."""
+        from fasttrack_tpu.imu.init import initialize_imu
+
+        m = self.atlas.current
+        chain = self._temporal_chain(kf)
+        chain = [k for k in chain if k.kid == chain[0].kid or k.preintegrated is not None]
+        if len(chain) < self.imu_init_kfs:
+            return
+        if chain[-1].timestamp - chain[0].timestamp < min_span_s:
+            return
+        R_bc = np.asarray(self.imu_calib.R_bc, np.float64)
+        t_bc = np.asarray(self.imu_calib.t_bc, np.float64)
+        R_wb, p_w, preints = [], [], []
+        for i, k in enumerate(chain):
+            Rb, pb = _body_from_cam_np(k.R_cw, k.t_cw, R_bc, t_bc)
+            R_wb.append(Rb)
+            p_w.append(pb)
+            if i > 0:
+                preints.append(k.preintegrated)
+        res = initialize_imu(R_wb, p_w, preints, mono_scale=self.monocular)
+        if not res.success:
+            return
+        # Align gravity (and scale): world' = s * R_gw * world.
+        scale = res.scale if self.monocular else 1.0
+        m.apply_scaled_rotation(res.R_gw, scale)
+        for i, k in enumerate(chain):
+            k.velocity = scale * (res.R_gw @ res.velocities[i])
+            k.imu_bias = (res.bg.copy(), np.zeros(3))
+        m.imu_initialized = True
+        m.info_changed()
+        if self.tracker is not None and chain[-1].kid == getattr(
+            self.tracker, "last_kf_id", None
+        ):
+            t = self.tracker
+            t.bias = (res.bg.copy(), np.zeros(3))
+            last = chain[-1]
+            R_wb_l, p_w_l = _body_from_cam_np(last.R_cw, last.t_cw, R_bc, t_bc)
+            t.last_kf_state = (R_wb_l, p_w_l, np.asarray(last.velocity))
+            t.v_w = np.asarray(last.velocity)
+            # The running since-KF preintegration is kept: its bias
+            # linearization point is corrected via the stored Jacobians.
+        # VIBA: polish the freshly initialized window with a full inertial BA
+        # (the reference's FullInertialBA after init, LocalMapping.cc:181-242).
+        self._local_inertial_ba(kf)
+
+    def _local_inertial_ba(self, kf: KeyFrame, window: int = 8):
+        """Optimizer::LocalInertialBA (Optimizer.cc:2383): temporal window of
+        recent KFs with per-KF (pose, velocity, bias) states, inertial edges
+        between consecutive KFs, visual edges to the window's map points."""
+        import jax.numpy as jnp
+
+        from fasttrack_tpu.imu.preintegration import ImuBias, Preintegrated
+        from fasttrack_tpu.optim.inertial import (
+            BodyState, InertialBAProblem, local_inertial_ba,
+        )
+
+        m = self.atlas.current
+        chain = self._temporal_chain(kf, max_len=window + 1)
+        # need contiguous preintegration between all consecutive pairs
+        usable = [chain[0]]
+        for k in chain[1:]:
+            if k.preintegrated is None:
+                usable = [k]
+            else:
+                usable.append(k)
+        chain = usable
+        if len(chain) < 3:
+            return
+        # Fixed window size: ONE XLA compile regardless of how many KFs the
+        # temporal chain actually has (front-padded with the oldest state,
+        # masked out via state_free / pre_valid).
+        K = window + 1
+        chain = chain[-K:]
+        n_real = len(chain)
+        pad = K - n_real
+        R_bc = np.asarray(self.imu_calib.R_bc, np.float64)
+        t_bc = np.asarray(self.imu_calib.t_bc, np.float64)
+
+        R_wb = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        p_w = np.zeros((K, 3), np.float32)
+        v_w = np.zeros((K, 3), np.float32)
+        bg = np.zeros((K, 3), np.float32)
+        ba = np.zeros((K, 3), np.float32)
+        for i, k in enumerate(chain):
+            Rb, pb = _body_from_cam_np(k.R_cw, k.t_cw, R_bc, t_bc)
+            R_wb[pad + i] = Rb
+            p_w[pad + i] = pb
+            v_w[pad + i] = k.velocity if k.velocity is not None else 0.0
+            if k.imu_bias is not None:
+                bg[pad + i], ba[pad + i] = k.imu_bias
+        # padding + oldest real KF fixed (gauge); all others free
+        state_free = np.ones(K, bool)
+        state_free[:pad + 1] = False
+
+        def stack_pre():
+            eye = np.eye(3, np.float32)
+            def field(name, default):
+                vals = [default] * pad
+                for i in range(n_real - 1):
+                    vals.append(np.asarray(
+                        getattr(chain[i + 1].preintegrated, name), np.float32))
+                return jnp.asarray(np.stack(vals))
+
+            dT = jnp.asarray(
+                np.asarray([0.0] * pad + [chain[i + 1].preintegrated.dT
+                                          for i in range(n_real - 1)], np.float32)
+            )
+            zero33 = np.zeros((3, 3), np.float32)
+            b0 = ImuBias(
+                jnp.asarray(np.stack([np.zeros(3, np.float32)] * pad + [
+                    np.asarray(chain[i + 1].preintegrated.b0.bg, np.float32)
+                    for i in range(n_real - 1)
+                ])),
+                jnp.asarray(np.stack([np.zeros(3, np.float32)] * pad + [
+                    np.asarray(chain[i + 1].preintegrated.b0.ba, np.float32)
+                    for i in range(n_real - 1)
+                ])),
+            )
+            zero3 = jnp.zeros((K - 1, 3), jnp.float32)
+            return Preintegrated(
+                dT, field("dR", eye), field("dV", np.zeros(3, np.float32)),
+                field("dP", np.zeros(3, np.float32)),
+                field("JRg", zero33), field("JVg", zero33), field("JVa", zero33),
+                field("JPg", zero33), field("JPa", zero33),
+                field("C", np.eye(15, dtype=np.float32) * 1e-6),
+                b0, zero3, zero3,
+            )
+
+        pre = stack_pre()
+        pre_valid = np.zeros(K - 1, bool)
+        pre_valid[pad:] = True
+
+        # Visual observations over the window (same packing as _local_ba,
+        # smaller point cap: the temporal window is narrower).
+        L = 1024
+        kf_index = {k.kid: pad + j for j, k in enumerate(chain)}
+        mp_ids = []
+        seen = set()
+        dropped = 0
+        for k in chain:
+            for mid in k.mp_ids:
+                if mid >= 0 and int(mid) not in seen:
+                    mp = m.mappoints.get(int(mid))
+                    if mp is not None and not mp.bad:
+                        seen.add(int(mid))
+                        if len(mp_ids) < L:
+                            mp_ids.append(int(mid))
+                        else:
+                            dropped += 1
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "local_inertial_ba: window overflow, dropped %d points (cap %d)",
+                dropped, L,
+            )
+
+        pts = np.zeros((L, 3), np.float32)
+        pt_free = np.zeros(L, bool)
+        obs_uv = np.zeros((L, K, 2), np.float32)
+        obs_ur = np.full((L, K), -1.0, np.float32)
+        inv_s2 = np.ones((L, K), np.float32)
+        mask = np.zeros((L, K), bool)
+        for li, mid in enumerate(mp_ids):
+            mp = m.mappoints[mid]
+            pts[li] = mp.position
+            pt_free[li] = True
+            for kid, fi in mp.observations.items():
+                j = kf_index.get(kid)
+                if j is None:
+                    continue
+                kkf = m.keyframes[kid]
+                if fi >= len(kkf.kp_uv) or not kkf.valid[fi]:
+                    continue
+                obs_uv[li, j] = kkf.kp_uv[fi]
+                obs_ur[li, j] = kkf.u_right[fi]
+                inv_s2[li, j] = self.inv_sigma2[kkf.kp_level[fi]]
+                mask[li, j] = True
+
+        prob = InertialBAProblem(
+            states=BodyState(
+                jnp.asarray(R_wb), jnp.asarray(p_w), jnp.asarray(v_w),
+                jnp.asarray(bg), jnp.asarray(ba),
+            ),
+            state_free=jnp.asarray(state_free),
+            pre=pre,
+            pre_valid=jnp.asarray(pre_valid),
+            points=jnp.asarray(pts),
+            point_free=jnp.asarray(pt_free),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_ur=jnp.asarray(obs_ur),
+            inv_sigma2=jnp.asarray(inv_s2),
+            mask=jnp.asarray(mask),
+        )
+        res = local_inertial_ba(
+            prob, self.camera, jnp.float32(self.bf),
+            jnp.asarray(R_bc, jnp.float32), jnp.asarray(t_bc, jnp.float32),
+        )
+
+        from fasttrack_tpu.nputils import orthonormalize
+
+        R_new = np.asarray(res.states.R_wb, np.float64)
+        p_new = np.asarray(res.states.p_w, np.float64)
+        v_new = np.asarray(res.states.v_w, np.float64)
+        bg_new = np.asarray(res.states.bg, np.float64)
+        ba_new = np.asarray(res.states.ba, np.float64)
+        pts_new = np.asarray(res.points, np.float64)
+        R_cb = R_bc.T
+        t_cb = -R_cb @ t_bc
+        for i, k in enumerate(chain):
+            j = pad + i
+            if not state_free[j]:
+                continue
+            if not (np.isfinite(R_new[j]).all() and np.isfinite(p_new[j]).all()):
+                continue
+            Rwb = orthonormalize(R_new[j])
+            R_cw = R_cb @ Rwb.T
+            t_cw = t_cb - R_cw @ p_new[j]
+            k.set_pose(R_cw, t_cw)
+            if np.isfinite(v_new[j]).all():
+                k.velocity = v_new[j]
+            k.imu_bias = (bg_new[j], ba_new[j])
+        for li, mid in enumerate(mp_ids):
+            mp = m.mappoints.get(mid)
+            if mp is not None and np.isfinite(pts_new[li]).all():
+                mp.position = pts_new[li]
+        # refresh the tracker's anchor if we moved its reference KF
+        if self.tracker is not None and chain[-1].kid == getattr(
+            self.tracker, "last_kf_id", None
+        ):
+            t = self.tracker
+            last = chain[-1]
+            R_wb_l, p_w_l = _body_from_cam_np(last.R_cw, last.t_cw, R_bc, t_bc)
+            t.last_kf_state = (R_wb_l, p_w_l, np.asarray(last.velocity))
+            if last.imu_bias is not None:
+                t.bias = (np.asarray(last.imu_bias[0]),
+                          np.asarray(last.imu_bias[1]))
+        m.info_changed()
+
     def _cull_keyframes(self, kf: KeyFrame):
         """KeyFrameCulling (LocalMapping.cc:902): erase local KFs whose map
-        points are >=90% observed by >=3 other KFs at same/finer scale."""
+        points are >=90% observed by >=3 other KFs at same/finer scale.
+
+        Inertial mode (LocalMapping.cc:935-1007): the temporal prev/next
+        chain carries the preintegration constraints, so culling is
+        suppressed until the IMU is initialized, and afterwards a KF is only
+        erased when its removal keeps the chain dense (gap < 3 s) — its
+        preintegration is merged into the next KF (ImuTypes::MergePrevious)."""
         m = self.atlas.current
+        if self.imu_calib is not None and not m.imu_initialized:
+            return
         for kid in kf.best_covisible(10):
             other = m.keyframes.get(kid)
             if other is None or other.kid == m.init_kf_id:
                 continue
+            if self.imu_calib is not None:
+                prev = m.keyframes.get(other.prev_kf_id) if other.prev_kf_id else None
+                nxt = m.keyframes.get(other.next_kf_id) if other.next_kf_id else None
+                if prev is None or nxt is None:
+                    continue
+                if nxt.timestamp - prev.timestamp > 3.0:
+                    continue
             total = 0
             redundant = 0
             for fi, mid in enumerate(other.mp_ids):
@@ -384,4 +705,14 @@ class LocalMapper:
                 if n_better >= 3:
                     redundant += 1
             if total > 20 and redundant > 0.9 * total:
+                if self.imu_calib is not None:
+                    prev = m.keyframes.get(other.prev_kf_id)
+                    nxt = m.keyframes.get(other.next_kf_id)
+                    if prev is not None and nxt is not None:
+                        if other.preintegrated is not None and nxt.preintegrated is not None:
+                            nxt.preintegrated = _merge_preintegrated(
+                                other.preintegrated, nxt.preintegrated
+                            )
+                        prev.next_kf_id = nxt.kid
+                        nxt.prev_kf_id = prev.kid
                 m.erase_keyframe(other.kid)

@@ -158,6 +158,11 @@ def extract_orb_pair(image_left: jnp.ndarray, image_right: jnp.ndarray,
 
     pcfg = config.pyramid
     L = pcfg.n_levels
+    # Accept uint8 frames: upload 1 byte/px over the host link (4x less
+    # transfer than float32 — the link, not the chip, is the bottleneck)
+    # and widen on device.
+    image_left = image_left.astype(jnp.float32)
+    image_right = image_right.astype(jnp.float32)
     raw2, blur2 = build_pyramid_pair(image_left, image_right, pcfg)  # (2L, H, W)
     pyr_l = Pyramid(raw2[:L], blur2[:L], pcfg)
     pyr_r = Pyramid(raw2[L:], blur2[L:], pcfg)

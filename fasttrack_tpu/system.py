@@ -75,19 +75,44 @@ class System:
                                      Sensor.IMU_MONOCULAR),
                 run_async=async_mapping,
             )
+        # Inertial calibration (IMU::Calib, ImuTypes.h:46-126) from settings.
+        self.imu_calib = None
+        if sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO, Sensor.IMU_RGBD):
+            import jax.numpy as jnp
+
+            from fasttrack_tpu.imu.preintegration import ImuCalib
+
+            T_bc = getattr(settings, "T_b_c1", None)
+            if T_bc is None:
+                T_bc = np.eye(4)
+            T_bc = np.asarray(T_bc, np.float64)
+            self.imu_calib = ImuCalib(
+                R_bc=jnp.asarray(T_bc[:3, :3], jnp.float32),
+                t_bc=jnp.asarray(T_bc[:3, 3], jnp.float32),
+                noise_gyro=settings.imu_noise_gyro,
+                noise_acc=settings.imu_noise_acc,
+                walk_gyro=settings.imu_walk_gyro,
+                walk_acc=settings.imu_walk_acc,
+                freq=settings.imu_frequency,
+            )
+        monocular = sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR)
         self.local_mapper = LocalMapper(
             self.atlas, settings.camera1, settings.bf,
             settings.scale_factor, settings.n_levels,
             run_async=async_mapping,
             loop_closer=self.loop_closer,
+            imu_calib=self.imu_calib,
+            monocular=monocular,
         )
         self.tracker = Tracker(
             settings.camera1, orb, settings.bf or 1.0, self.atlas,
             kernel_config=self.kcfg, stats=self.stats,
             local_mapper=self.local_mapper,
             th_depth_factor=settings.th_depth,
-            monocular=sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR),
+            monocular=monocular,
+            imu_calib=self.imu_calib,
         )
+        self.local_mapper.tracker = self.tracker
         if self.loop_closer is not None:
             self.tracker.reloc_db = self.loop_closer.db
             self.tracker.vocabulary = vocabulary
@@ -117,8 +142,11 @@ class System:
         return self.tracker.track_monocular(img, timestamp)
 
     def tracker_grab_imu(self, imu_samples):
-        # queued for preintegration once the inertial front-end lands
-        pass
+        """System::GrabImuData (System.cc:333): queue (t, acc, gyro) samples
+        for per-frame preintegration in the tracker."""
+        if self.imu_calib is None:
+            raise RuntimeError("IMU samples passed to a non-inertial sensor config")
+        self.tracker.grab_imu(imu_samples)
 
     @property
     def tracking_state(self) -> TrackingState:

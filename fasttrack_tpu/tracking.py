@@ -65,6 +65,10 @@ class TrackedFrame:
     R_cw: np.ndarray = None
     t_cw: np.ndarray = None
     mp_ids: np.ndarray = None
+    # Inertial state (world frame, body = IMU): set while tracking inertially.
+    v_w: np.ndarray = None
+    bg: np.ndarray = None
+    ba: np.ndarray = None
 
     def __post_init__(self):
         if self.mp_ids is None:
@@ -88,8 +92,18 @@ class Tracker:
         min_frames_between_kf: int = 0,
         max_frames_between_kf: int = 20,
         monocular: bool = False,
+        imu_calib=None,
     ):
         self.monocular = monocular
+        # --- inertial front-end state (Tracking.cc IMU members) ----------
+        self.imu_calib = imu_calib            # imu.preintegration.ImuCalib
+        self.use_imu = imu_calib is not None
+        self.imu_queue: list = []             # (t, acc(3), gyro(3)) pending
+        self.pre_from_kf = None               # Preintegrated since last KF
+        self.last_imu_time: float | None = None
+        self.bias = (np.zeros(3), np.zeros(3))  # (bg, ba) current estimate
+        self.v_w = np.zeros(3)                # current world velocity (body)
+        self.last_kf_state = None             # host BodyState of the ref KF
         self._init_reference: Optional[TrackedFrame] = None
         self.reloc_db = None      # KeyFrameDatabase (shared with loop closing)
         self.vocabulary = None
@@ -148,9 +162,142 @@ class Tracker:
         R_wc, t_wc = frame.pose_wc()
         return Xc @ R_wc.T + t_wc
 
+    # --------------------------------------------------------- inertial utils
+    _IMU_PAD = 64  # fixed preintegration batch (jit shape stability)
+
+    def grab_imu(self, samples):
+        """Queue raw IMU samples (System::GrabImuData semantics). Each sample
+        is (t, acc(3,), gyro(3,))."""
+        for s in samples:
+            t, acc, gyro = s
+            self.imu_queue.append(
+                (float(t), np.asarray(acc, np.float64), np.asarray(gyro, np.float64))
+            )
+
+    def _device_calib(self):
+        if getattr(self, "_calib_dev", None) is None:
+            c = self.imu_calib
+            self._calib_dev = c
+        return self._calib_dev
+
+    def _preintegrate_imu(self, timestamp: float):
+        """Tracking::PreintegrateIMU (Tracking.cc:1681): integrate queued
+        samples up to ``timestamp`` into the running since-last-KF
+        preintegration (device-resident, fixed-size padded batches)."""
+        from fasttrack_tpu.imu.preintegration import (
+            ImuBias, Preintegrated, integrate_measurements,
+        )
+
+        take = [s for s in self.imu_queue if s[0] <= timestamp]
+        self.imu_queue = [s for s in self.imu_queue if s[0] > timestamp]
+        if self.pre_from_kf is None:
+            b0 = ImuBias(jnp.asarray(self.bias[0], jnp.float32),
+                         jnp.asarray(self.bias[1], jnp.float32))
+            self.pre_from_kf = Preintegrated.identity(b0)
+        if not take:
+            return
+        t_prev = self.last_imu_time
+        accs, gyrs, dts = [], [], []
+        for t, acc, gyro in take:
+            dt = (t - t_prev) if t_prev is not None else 1.0 / self.imu_calib.freq
+            t_prev = t
+            if dt <= 0:
+                continue
+            accs.append(acc)
+            gyrs.append(gyro)
+            dts.append(dt)
+        self.last_imu_time = t_prev
+        if not accs:
+            return
+        P = self._IMU_PAD
+        for start in range(0, len(accs), P):
+            a = np.zeros((P, 3), np.float32)
+            g = np.zeros((P, 3), np.float32)
+            h = np.zeros((P,), np.float32)
+            chunk = slice(start, start + P)
+            n = len(accs[chunk.start:chunk.stop])
+            a[:n] = np.asarray(accs[chunk.start:chunk.stop], np.float32)
+            g[:n] = np.asarray(gyrs[chunk.start:chunk.stop], np.float32)
+            h[:n] = np.asarray(dts[chunk.start:chunk.stop], np.float32)
+            self.pre_from_kf = integrate_measurements(
+                self.pre_from_kf, jnp.asarray(a), jnp.asarray(g), jnp.asarray(h),
+                self._device_calib(),
+            )
+
+    def _body_from_cam(self, R_cw, t_cw):
+        """T_wb from T_cw (host). With X_b = R_bc X_c + t_bc (Calib.mTbc):
+        R_wb = R_wc R_bc^T, p_w = C_w - R_wb t_bc, C_w = -R_wc t_cw."""
+        R_bc = np.asarray(self.imu_calib.R_bc, np.float64)
+        t_bc = np.asarray(self.imu_calib.t_bc, np.float64)
+        R_wc = R_cw.T
+        R_wb = R_wc @ R_bc.T
+        return R_wb, -R_wc @ t_cw - R_wb @ t_bc
+
+    def _cam_from_body(self, R_wb, p_w):
+        R_bc = np.asarray(self.imu_calib.R_bc, np.float64)
+        t_bc = np.asarray(self.imu_calib.t_bc, np.float64)
+        R_cb = R_bc.T
+        t_cb = -R_cb @ t_bc
+        R_cw = R_cb @ R_wb.T
+        t_cw = t_cb - R_cw @ p_w
+        return R_cw, t_cw
+
+    def _pre_host(self):
+        """Host numpy snapshot of the running preintegration (stored on KFs
+        for IMU init / inertial BA)."""
+        import types
+
+        p = self.pre_from_kf
+        return types.SimpleNamespace(
+            dT=float(p.dT), dR=np.asarray(p.dR, np.float64),
+            dV=np.asarray(p.dV, np.float64), dP=np.asarray(p.dP, np.float64),
+            JRg=np.asarray(p.JRg, np.float64), JVg=np.asarray(p.JVg, np.float64),
+            JVa=np.asarray(p.JVa, np.float64), JPg=np.asarray(p.JPg, np.float64),
+            JPa=np.asarray(p.JPa, np.float64), C=np.asarray(p.C, np.float64),
+            b0=types.SimpleNamespace(
+                bg=np.asarray(p.b0.bg, np.float64),
+                ba=np.asarray(p.b0.ba, np.float64),
+            ),
+        )
+
+    def _predict_state_imu(self):
+        """Tracking::PredictStateIMU (Tracking.cc:1795) on host numpy, from
+        the last KF body state through the since-KF preintegration."""
+        from fasttrack_tpu.imu.preintegration import GRAVITY_VALUE
+
+        R1, p1, v1 = self.last_kf_state
+        pre = self._pre_host()
+        bg, ba = self.bias
+        dbg = bg - pre.b0.bg
+        dba = ba - pre.b0.ba
+        from fasttrack_tpu.imu.init import _so3_exp
+
+        dR = pre.dR @ _so3_exp(pre.JRg @ dbg)
+        dV = pre.dV + pre.JVg @ dbg + pre.JVa @ dba
+        dP = pre.dP + pre.JPg @ dbg + pre.JPa @ dba
+        g = np.array([0.0, 0.0, -GRAVITY_VALUE])
+        t = pre.dT
+        R2 = R1 @ dR
+        v2 = v1 + g * t + R1 @ dV
+        p2 = p1 + v1 * t + 0.5 * g * t * t + R1 @ dP
+        return R2, p2, v2
+
+    def _imu_ready(self) -> bool:
+        return (
+            self.use_imu
+            and self.atlas.current.imu_initialized
+            and self.last_kf_state is not None
+            and self.pre_from_kf is not None
+        )
+
     # ------------------------------------------------------- main entry point
     def track_stereo(self, img_left, img_right, timestamp: float):
         t0 = time.perf_counter()
+        if not (self.kcfg.orb_extraction and self.kcfg.stereo_match):
+            # At least one front-end stage runs on host: the ablation modes
+            # of the reference's toggle matrix (ORBextractor.cc:1374,
+            # Frame.cc:156 CPU branches).
+            return self._track_stereo_host(img_left, img_right, timestamp, t0)
         fd = process_stereo_frame(
             jnp.asarray(img_left, jnp.float32),
             jnp.asarray(img_right, jnp.float32),
@@ -159,6 +306,71 @@ class Tracker:
             jnp.float32(self.baseline),
         )
         return self._track_frame(fd, timestamp, t0)
+
+    def _track_stereo_host(self, img_left, img_right, timestamp: float, t0):
+        """Front end with per-stage host/device dispatch (the reference's
+        KernelController run-status branches)."""
+        from fasttrack_tpu.ops import host_kernels as hk
+
+        scale_factors = self._scale_factors
+        if self.kcfg.orb_extraction:
+            # device extraction, host-visible copies for the host stages
+            from fasttrack_tpu.ops.extractor import extract_orb_pair
+
+            kl_d, kr_d, pyr_l, pyr_r = extract_orb_pair(
+                jnp.asarray(img_left, jnp.float32),
+                jnp.asarray(img_right, jnp.float32), self.cfg,
+            )
+            kl = hk.HostKeypoints(*[np.asarray(f) for f in (
+                kl_d.x, kl_d.y, kl_d.xl, kl_d.yl, kl_d.level, kl_d.angle,
+                kl_d.score, kl_d.desc_packed, kl_d.desc_signed, kl_d.valid)])
+            kr = hk.HostKeypoints(*[np.asarray(f) for f in (
+                kr_d.x, kr_d.y, kr_d.xl, kr_d.yl, kr_d.level, kr_d.angle,
+                kr_d.score, kr_d.desc_packed, kr_d.desc_signed, kr_d.valid)])
+            raw_l = np.asarray(pyr_l.raw)
+            raw_r = np.asarray(pyr_r.raw)
+        else:
+            kl, raw_l, _ = hk.host_extract_orb_with_pyramid(img_left, self.cfg)
+            kr, raw_r, _ = hk.host_extract_orb_with_pyramid(img_right, self.cfg)
+
+        if self.kcfg.stereo_match:
+            from fasttrack_tpu.frame_pipeline import _stereo_match_stage
+            from fasttrack_tpu.ops.extractor import Keypoints
+
+            def to_dev(k):
+                return Keypoints(
+                    jnp.asarray(k.x), jnp.asarray(k.y), jnp.asarray(k.xl),
+                    jnp.asarray(k.yl), jnp.asarray(k.level),
+                    jnp.asarray(k.angle), jnp.asarray(k.score),
+                    jnp.asarray(k.desc_signed), jnp.asarray(k.desc_packed),
+                    jnp.asarray(k.valid),
+                )
+
+            sm, _ = _stereo_match_stage(
+                to_dev(kl), to_dev(kr), jnp.asarray(raw_l), jnp.asarray(raw_r),
+                self.cfg, jnp.float32(self.bf), jnp.float32(self.baseline),
+            )
+            u_right = np.asarray(sm.u_right)
+            depth = np.asarray(sm.depth)
+        else:
+            u_right, depth = hk.host_match_rectified(
+                kl, kr, raw_l, raw_r, scale_factors, self.bf, self.baseline,
+            )
+
+        frame = TrackedFrame(
+            frame_id=self.frame_id,
+            timestamp=timestamp,
+            kp_uv=np.stack([kl.x, kl.y], -1),
+            kp_level=kl.level,
+            kp_angle=kl.angle,
+            desc_packed=kl.desc_packed,
+            desc_signed=kl.desc_signed,
+            u_right=u_right,
+            depth=depth,
+            valid=kl.valid,
+        )
+        self.stats.record("orb_extraction", (time.perf_counter() - t0) * 1e3)
+        return self._track_prepared(frame, t0)
 
     def track_rgbd(self, img, depth_map, timestamp: float):
         from fasttrack_tpu.frame_pipeline import process_rgbd_frame
@@ -182,6 +394,12 @@ class Tracker:
     def _track_frame(self, fd, timestamp: float, t0: float):
         frame = self._snapshot(fd, timestamp)
         self.stats.record("orb_extraction", (time.perf_counter() - t0) * 1e3)
+        return self._track_prepared(frame, t0)
+
+    def _track_prepared(self, frame: TrackedFrame, t0: float):
+        timestamp = frame.timestamp
+        if self.use_imu:
+            self._preintegrate_imu(timestamp)
 
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             if self.monocular:
@@ -318,11 +536,41 @@ class Tracker:
         self.state = TrackingState.OK
 
     def _make_keyframe(self, frame: TrackedFrame) -> KeyFrame:
-        return KeyFrame(
+        kf = KeyFrame(
             self.atlas.next_kf_id(), frame.frame_id, frame.timestamp,
             frame.R_cw, frame.t_cw, frame.kp_uv, frame.kp_level, frame.kp_angle,
             frame.desc_packed, frame.desc_signed, frame.u_right, frame.depth,
             frame.valid,
+        )
+        if self.use_imu:
+            self._finalize_keyframe_inertial(kf, frame)
+        return kf
+
+    def _finalize_keyframe_inertial(self, kf: KeyFrame, frame: TrackedFrame):
+        """Attach the inertial state + since-last-KF preintegration to a new
+        keyframe and restart the accumulation (Tracking::CreateNewKeyFrame
+        inertial bookkeeping, Tracking.cc:3345)."""
+        prev_id = getattr(self, "last_kf_id", None)
+        kf.velocity = np.asarray(
+            frame.v_w if frame.v_w is not None else self.v_w, np.float64
+        )
+        kf.imu_bias = (self.bias[0].copy(), self.bias[1].copy())
+        kf.prev_kf_id = prev_id
+        if prev_id is not None and self.pre_from_kf is not None:
+            kf.preintegrated = self._pre_host()
+        if prev_id is not None:
+            prev = self.atlas.current.keyframes.get(prev_id)
+            if prev is not None:
+                prev.next_kf_id = kf.kid
+        self.last_kf_id = kf.kid
+        R_wb, p_w = self._body_from_cam(kf.R_cw, kf.t_cw)
+        self.last_kf_state = (R_wb, p_w, np.asarray(kf.velocity, np.float64))
+        # restart the since-KF accumulation at the current bias estimate
+        from fasttrack_tpu.imu.preintegration import ImuBias, Preintegrated
+
+        self.pre_from_kf = Preintegrated.identity(
+            ImuBias(jnp.asarray(self.bias[0], jnp.float32),
+                    jnp.asarray(self.bias[1], jnp.float32))
         )
 
     # ------------------------------------------------------------- tracking
@@ -331,7 +579,7 @@ class Tracker:
         with m.lock:
             ok = False
             if self.state == TrackingState.OK:
-                if self.velocity is not None:
+                if self.velocity is not None or self._imu_ready():
                     t0 = time.perf_counter()
                     ok = self._track_with_motion_model(frame)
                     self.stats.record("twm", (time.perf_counter() - t0) * 1e3)
@@ -340,9 +588,25 @@ class Tracker:
                     ok = self._track_reference_keyframe(frame)
                     self.stats.record("trk", (time.perf_counter() - t0) * 1e3)
             elif self.state == TrackingState.RECENTLY_LOST:
-                ok = self._track_reference_keyframe(frame)
-                if not ok:
-                    ok = self._relocalization(frame)
+                if self._imu_ready():
+                    # Inertial dead-reckoning (Tracking.cc:2038-2069): keep
+                    # publishing the IMU-predicted pose and keep trying to
+                    # re-acquire the map visually.
+                    R_wb, p_w, v_w = self._predict_state_imu()
+                    frame.R_cw, frame.t_cw = self._cam_from_body(R_wb, p_w)
+                    frame.v_w = v_w
+                    ok = self._track_with_motion_model(frame)
+                    if not ok:
+                        ok = self._track_reference_keyframe(frame)
+                    if not ok:
+                        # Pure dead-reckoning frame: the predicted pose
+                        # stands (set above), tracking stays RECENTLY_LOST,
+                        # the trajectory stays continuous.
+                        self.v_w = v_w
+                else:
+                    ok = self._track_reference_keyframe(frame)
+                    if not ok:
+                        ok = self._relocalization(frame)
 
             if ok:
                 t0 = time.perf_counter()
@@ -373,8 +637,9 @@ class Tracker:
                     self.state = TrackingState.LOST
                     self._handle_lost()
                 self.velocity = None
-                # keep last pose as estimate
-                if self.last_frame.R_cw is not None:
+                # keep last pose as estimate (unless IMU dead-reckoning
+                # already produced a prediction for this frame)
+                if frame.R_cw is None and self.last_frame.R_cw is not None:
                     frame.R_cw = self.last_frame.R_cw.copy()
                     frame.t_cw = self.last_frame.t_cw.copy()
             self.stats.record_count("track_ok", int(ok))
@@ -406,12 +671,30 @@ class Tracker:
             ok[j] = True
         return pos, desc, ok
 
+    def _packed_for(self, mids: np.ndarray, m, okq: np.ndarray) -> np.ndarray:
+        """Packed uint8 descriptors for map-point ids (host matcher input)."""
+        packed = np.zeros((len(mids), 32), np.uint8)
+        for j in np.where(okq)[0]:
+            mp = m.mappoints.get(int(mids[j]))
+            if mp is not None and mp.desc_packed is not None:
+                packed[j] = mp.desc_packed
+        return packed
+
     def _track_with_motion_model(self, frame: TrackedFrame) -> bool:
-        """Tracking.cc:2911 + the PoseEstimationKernel device search."""
+        """Tracking.cc:2911 + the PoseEstimationKernel device search.
+        With an initialized IMU the prediction comes from PredictStateIMU
+        (Tracking.cc:2924-2933) instead of the constant-velocity model."""
         m = self.atlas.current
         last = self.last_frame
-        R_pred = self.velocity[0] @ last.R_cw
-        t_pred = self.velocity[0] @ last.t_cw + self.velocity[1]
+        if self._imu_ready():
+            R_wb, p_w, v_w = self._predict_state_imu()
+            R_pred, t_pred = self._cam_from_body(R_wb, p_w)
+            frame.v_w = v_w
+        elif self.velocity is not None:
+            R_pred = self.velocity[0] @ last.R_cw
+            t_pred = self.velocity[0] @ last.t_cw + self.velocity[1]
+        else:
+            return False
 
         has_mp = last.mp_ids >= 0
         if has_mp.sum() < 10:
@@ -434,22 +717,38 @@ class Tracker:
         th = 7.0  # stereo radius (ORBmatcher th=7 for stereo/RGBD)
         radius = th * self._scale_factors[last.kp_level]
         lvl = last.kp_level
+        lmin = np.maximum(lvl - 1, 0).astype(np.int32)
+        lmax = np.minimum(lvl + 1, self.cfg.n_levels - 1).astype(np.int32)
         for widen in (1.0, 2.0):  # retry with doubled window (Tracking.cc:2964)
-            idx, keep = twm_match(
-                jnp.asarray(np.stack([u, v], -1)),
-                jnp.asarray(desc),
-                jnp.asarray(radius * widen),
-                jnp.asarray(np.maximum(lvl - 1, 0).astype(np.int32)),
-                jnp.asarray(np.minimum(lvl + 1, self.cfg.n_levels - 1).astype(np.int32)),
-                jnp.asarray(okq),
-                jnp.asarray(frame.kp_uv),
-                jnp.asarray(frame.desc_signed),
-                jnp.asarray(frame.kp_level.astype(np.int32)),
-                jnp.asarray(frame.valid),
-                jnp.asarray(last.kp_angle),
-                jnp.asarray(frame.kp_angle),
-            )
-            keep_np = np.asarray(keep)
+            if self.kcfg.pose_estimation:
+                idx, keep = twm_match(
+                    jnp.asarray(np.stack([u, v], -1)),
+                    jnp.asarray(desc),
+                    jnp.asarray(radius * widen),
+                    jnp.asarray(lmin),
+                    jnp.asarray(lmax),
+                    jnp.asarray(okq),
+                    jnp.asarray(frame.kp_uv),
+                    jnp.asarray(frame.desc_signed),
+                    jnp.asarray(frame.kp_level.astype(np.int32)),
+                    jnp.asarray(frame.valid),
+                    jnp.asarray(last.kp_angle),
+                    jnp.asarray(frame.kp_angle),
+                )
+                keep_np = np.asarray(keep)
+            else:
+                # host path (ORBmatcher.cc:1992 CPU branch of the
+                # poseEstimation toggle)
+                from fasttrack_tpu.ops.host_kernels import host_twm_match
+
+                packed = self._packed_for(mids, m, okq)
+                idx, keep_np = host_twm_match(
+                    np.stack([u, v], -1).astype(np.float32), packed,
+                    (radius * widen).astype(np.float32), lmin, lmax, okq,
+                    frame.kp_uv.astype(np.float32), frame.desc_packed,
+                    frame.kp_level.astype(np.int32), frame.valid,
+                    last.kp_angle, frame.kp_angle,
+                )
             n = int(keep_np.sum())
             if n >= 20:
                 break
@@ -504,6 +803,10 @@ class Tracker:
             if mp is not None and not mp.bad:
                 Xw[i] = mp.position
                 ok[i] = True
+        if self._imu_ready():
+            return self._optimize_frame_pose_inertial(
+                frame, R0, t0, Xw, ok, min_inliers
+            )
         res = pose_optimize(
             self.camera,
             jnp.float32(self.bf),
@@ -522,6 +825,56 @@ class Tracker:
             return False
         frame.R_cw = _orthonormalize(np.asarray(res.pose.R, np.float64))
         frame.t_cw = np.asarray(res.pose.t, np.float64)
+        return True
+
+    def _optimize_frame_pose_inertial(
+        self, frame, R0, t0, Xw, ok, min_inliers
+    ) -> bool:
+        """Motion-only VI optimization anchored at the last keyframe
+        (Optimizer::PoseInertialOptimizationLastKeyFrame, Optimizer.cc:4491)."""
+        from fasttrack_tpu.optim.inertial import (
+            BodyState, pose_inertial_optimize,
+        )
+
+        R1, p1, v1 = self.last_kf_state
+        kf_bg, kf_ba = self.bias
+        prev = BodyState(
+            jnp.asarray(R1, jnp.float32), jnp.asarray(p1, jnp.float32),
+            jnp.asarray(v1, jnp.float32), jnp.asarray(kf_bg, jnp.float32),
+            jnp.asarray(kf_ba, jnp.float32),
+        )
+        R_wb0, p_w0 = self._body_from_cam(
+            np.asarray(R0, np.float64), np.asarray(t0, np.float64)
+        )
+        v0 = frame.v_w if frame.v_w is not None else self.v_w
+        s0 = BodyState(
+            jnp.asarray(R_wb0, jnp.float32), jnp.asarray(p_w0, jnp.float32),
+            jnp.asarray(v0, jnp.float32), jnp.asarray(kf_bg, jnp.float32),
+            jnp.asarray(kf_ba, jnp.float32),
+        )
+        res = pose_inertial_optimize(
+            self.camera, jnp.float32(self.bf),
+            jnp.asarray(np.asarray(self.imu_calib.R_bc), jnp.float32),
+            jnp.asarray(np.asarray(self.imu_calib.t_bc), jnp.float32),
+            prev, self.pre_from_kf, s0,
+            jnp.asarray(Xw), jnp.asarray(frame.kp_uv),
+            jnp.asarray(frame.u_right),
+            jnp.asarray(self._inv_sigma2[frame.kp_level]),
+            jnp.asarray(ok),
+        )
+        inl = np.asarray(res.inliers)
+        self.n_inliers = int(res.n_inliers)
+        frame.mp_ids[~inl] = -1
+        if self.n_inliers < max(min_inliers, 1):
+            return False
+        R_wb = _orthonormalize(np.asarray(res.state.R_wb, np.float64))
+        p_w = np.asarray(res.state.p_w, np.float64)
+        frame.R_cw, frame.t_cw = self._cam_from_body(R_wb, p_w)
+        frame.v_w = np.asarray(res.state.v_w, np.float64)
+        frame.bg = np.asarray(res.state.bg, np.float64)
+        frame.ba = np.asarray(res.state.ba, np.float64)
+        self.v_w = frame.v_w
+        self.bias = (frame.bg, frame.ba)
         return True
 
     # -------------------------------------------------------- relocalization
@@ -680,21 +1033,36 @@ class Tracker:
         okq &= in_frustum
         radius = 4.0 * self._scale_factors[levels]  # th=1? reference r=th*radius(viewCos)
         taken = frame.mp_ids >= 0
-        idx, keep = tlm_match(
-            jnp.asarray(np.stack([u, v], -1)),
-            jnp.asarray(desc),
-            jnp.asarray(radius.astype(np.float32)),
-            jnp.asarray(np.maximum(levels - 1, 0)),
-            jnp.asarray(levels),
-            jnp.asarray(okq),
-            jnp.asarray(frame.kp_uv),
-            jnp.asarray(frame.desc_signed),
-            jnp.asarray(frame.kp_level.astype(np.int32)),
-            jnp.asarray(frame.valid),
-            jnp.asarray(taken),
-        )
-        keep_np = np.asarray(keep)
-        idx_np = np.asarray(idx)
+        if self.kcfg.search_local_points:
+            idx, keep = tlm_match(
+                jnp.asarray(np.stack([u, v], -1)),
+                jnp.asarray(desc),
+                jnp.asarray(radius.astype(np.float32)),
+                jnp.asarray(np.maximum(levels - 1, 0)),
+                jnp.asarray(levels),
+                jnp.asarray(okq),
+                jnp.asarray(frame.kp_uv),
+                jnp.asarray(frame.desc_signed),
+                jnp.asarray(frame.kp_level.astype(np.int32)),
+                jnp.asarray(frame.valid),
+                jnp.asarray(taken),
+            )
+            keep_np = np.asarray(keep)
+            idx_np = np.asarray(idx)
+        else:
+            # host path (ORBmatcher.cc:227 CPU branch of the
+            # searchLocalPoints toggle)
+            from fasttrack_tpu.ops.host_kernels import host_tlm_match
+
+            packed = self._packed_for(mids_arr, m, okq)
+            idx_np, keep_np = host_tlm_match(
+                np.stack([u, v], -1).astype(np.float32), packed,
+                radius.astype(np.float32),
+                np.maximum(levels - 1, 0).astype(np.int32),
+                levels.astype(np.int32), okq,
+                frame.kp_uv.astype(np.float32), frame.desc_packed,
+                frame.kp_level.astype(np.int32), frame.valid, taken,
+            )
         frame.mp_ids[idx_np[keep_np]] = mids_arr[keep_np]
 
         # Pose optimization — bypassed when the toggle is off

@@ -1,0 +1,212 @@
+"""Inertial pipeline tests: motion-only VI optimization, local inertial BA,
+and the stereo-inertial end-to-end (IMU init + dead-reckoning through a
+blank-wall stretch) — the capability every reference baseline is measured on
+(stereo_inertial_euroc.cc)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fasttrack_tpu.cameras import make_pinhole
+from fasttrack_tpu.datasets.synthetic import generate_sequence
+from fasttrack_tpu.evaluation import absolute_trajectory_error
+from fasttrack_tpu.geometry.so3 import so3_exp as jso3_exp
+from fasttrack_tpu.imu.preintegration import (
+    GRAVITY_VALUE,
+    ImuBias,
+    ImuCalib,
+    preintegrate,
+)
+from fasttrack_tpu.optim.inertial import (
+    BodyState,
+    body_to_cam,
+    cam_to_body,
+    inertial_residual,
+    pose_inertial_optimize,
+    retract,
+)
+from fasttrack_tpu.settings import Settings
+from fasttrack_tpu.system import Sensor, System
+from fasttrack_tpu.tracking import TrackingState
+
+RNG = np.random.default_rng(7)
+
+
+def _simulate_const_accel(n=40, dt=0.005, a_w=(0.3, -0.2, 0.1), v0=(0.1, 0.0, 0.05)):
+    """Constant world acceleration, no rotation. Returns exact start/end
+    states and the raw IMU samples (body frame = world orientation)."""
+    g = np.array([0.0, 0.0, -GRAVITY_VALUE])
+    a_w = np.asarray(a_w)
+    v0 = np.asarray(v0)
+    acc = np.tile(a_w - g, (n, 1)).astype(np.float32)  # specific force, R=I
+    gyro = np.zeros((n, 3), np.float32)
+    dts = np.full(n, dt, np.float32)
+    T = n * dt
+    p1 = np.zeros(3)
+    v1 = v0
+    p2 = p1 + v0 * T + 0.5 * a_w * T * T
+    v2 = v0 + a_w * T
+    return acc, gyro, dts, (p1, v1), (p2, v2), T
+
+
+class TestInertialResidual:
+    def test_zero_residual_on_exact_states(self):
+        calib = ImuCalib.default(freq=200.0)
+        acc, gyro, dts, (p1, v1), (p2, v2), T = _simulate_const_accel()
+        pre = preintegrate(jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts), calib)
+        eye = jnp.eye(3)
+        s1 = BodyState(eye, jnp.asarray(p1, jnp.float32), jnp.asarray(v1, jnp.float32),
+                       jnp.zeros(3), jnp.zeros(3))
+        s2 = BodyState(eye, jnp.asarray(p2, jnp.float32), jnp.asarray(v2, jnp.float32),
+                       jnp.zeros(3), jnp.zeros(3))
+        r = np.asarray(inertial_residual(pre, s1, s2, s1))
+        assert np.abs(r).max() < 1e-3, r
+
+    def test_body_cam_roundtrip(self):
+        R_bc = np.asarray(jso3_exp(jnp.asarray([0.1, -0.2, 0.3])))
+        t_bc = np.array([0.01, -0.02, 0.05], np.float32)
+        R_wb = np.asarray(jso3_exp(jnp.asarray([-0.3, 0.1, 0.2])))
+        p_w = np.array([1.0, 2.0, -0.5], np.float32)
+        s = BodyState(jnp.asarray(R_wb, jnp.float32), jnp.asarray(p_w),
+                      jnp.zeros(3), jnp.zeros(3), jnp.zeros(3))
+        R_cw, t_cw = body_to_cam(s, jnp.asarray(R_bc, jnp.float32), jnp.asarray(t_bc))
+        R_wb2, p_w2 = cam_to_body(R_cw, t_cw, jnp.asarray(R_bc, jnp.float32),
+                                  jnp.asarray(t_bc))
+        np.testing.assert_allclose(np.asarray(R_wb2), R_wb, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(p_w2), p_w, atol=1e-5)
+
+
+class TestPoseInertialOptimize:
+    def test_recovers_pose_with_imu_and_vision(self):
+        calib = ImuCalib.default(freq=200.0)
+        acc, gyro, dts, (p1, v1), (p2, v2), T = _simulate_const_accel()
+        pre = preintegrate(jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts), calib)
+        eye = jnp.eye(3)
+        prev = BodyState(eye, jnp.asarray(p1, jnp.float32),
+                         jnp.asarray(v1, jnp.float32), jnp.zeros(3), jnp.zeros(3))
+        # Visual scene: points in front of the camera (body == camera).
+        N = 256
+        Xw = RNG.uniform([-3, -2, 4], [3, 2, 10], (N, 3)).astype(np.float32)
+        cam = make_pinhole(400.0, 400.0, 160.0, 120.0, 320, 240)
+        fx, fy, cx, cy = 400.0, 400.0, 160.0, 120.0
+        bf = 40.0
+        # ground-truth current pose = (I, p2); observations with pixel noise
+        Xc = Xw - p2[None, :]
+        uv = np.stack([fx * Xc[:, 0] / Xc[:, 2] + cx,
+                       fy * Xc[:, 1] / Xc[:, 2] + cy], -1)
+        uv += RNG.normal(0, 0.3, uv.shape)
+        ur = uv[:, 0] - bf / Xc[:, 2]
+        # start from a perturbed state
+        s0 = BodyState(
+            eye, jnp.asarray(p2 + [0.05, -0.04, 0.08], jnp.float32),
+            jnp.asarray(v2 + 0.1, jnp.float32), jnp.zeros(3), jnp.zeros(3),
+        )
+        res = pose_inertial_optimize(
+            cam, jnp.float32(bf), eye, jnp.zeros(3), prev, pre, s0,
+            jnp.asarray(Xw), jnp.asarray(uv.astype(np.float32)),
+            jnp.asarray(ur.astype(np.float32)),
+            jnp.ones(N), jnp.ones(N, bool),
+        )
+        p_est = np.asarray(res.state.p_w)
+        v_est = np.asarray(res.state.v_w)
+        assert np.linalg.norm(p_est - p2) < 0.01, (p_est, p2)
+        assert np.linalg.norm(v_est - v2) < 0.05, (v_est, v2)
+        assert int(res.n_inliers) > 200
+
+    def test_imu_constrains_without_vision(self):
+        """With no visual edges the solution must stay at the IMU
+        prediction (the dead-reckoning limit)."""
+        calib = ImuCalib.default(freq=200.0)
+        acc, gyro, dts, (p1, v1), (p2, v2), T = _simulate_const_accel()
+        pre = preintegrate(jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts), calib)
+        eye = jnp.eye(3)
+        prev = BodyState(eye, jnp.asarray(p1, jnp.float32),
+                         jnp.asarray(v1, jnp.float32), jnp.zeros(3), jnp.zeros(3))
+        s0 = BodyState(eye, jnp.asarray(p2, jnp.float32),
+                       jnp.asarray(v2, jnp.float32), jnp.zeros(3), jnp.zeros(3))
+        cam = make_pinhole(400.0, 400.0, 160.0, 120.0, 320, 240)
+        N = 16
+        res = pose_inertial_optimize(
+            cam, jnp.float32(40.0), eye, jnp.zeros(3), prev, pre, s0,
+            jnp.zeros((N, 3)), jnp.zeros((N, 2)), jnp.full(N, -1.0),
+            jnp.ones(N), jnp.zeros(N, bool),
+        )
+        assert np.linalg.norm(np.asarray(res.state.p_w) - p2) < 5e-3
+
+
+@pytest.fixture(scope="module")
+def imu_seq():
+    return generate_sequence(n_frames=70, h=240, w=320, seed=5)
+
+
+def make_imu_system(seq):
+    s = Settings()
+    s.width = seq.frames[0].left.shape[1]
+    s.height = seq.frames[0].left.shape[0]
+    s.camera1 = make_pinhole(seq.fx, seq.fy, seq.cx, seq.cy, s.width, s.height)
+    s.bf = seq.fx * seq.baseline
+    s.baseline = seq.baseline
+    s.th_depth = 60.0
+    s.n_features = 512
+    s.n_levels = 4
+    s.T_b_c1 = np.eye(4)  # synthetic body frame == camera frame
+    s.imu_frequency = 200.0
+    return System(s, Sensor.IMU_STEREO)
+
+
+def _imu_between(seq, t0, t1):
+    sel = (seq.imu_t > t0) & (seq.imu_t <= t1)
+    return [
+        (float(t), seq.imu_acc[i], seq.imu_gyro[i])
+        for i, t in zip(np.where(sel)[0], seq.imu_t[sel])
+    ]
+
+
+class TestStereoInertialE2E:
+    def test_imu_initializes_and_tracks(self, imu_seq):
+        seq = imu_seq
+        sys = make_imu_system(seq)
+        t_prev = -1.0
+        for fr in seq.frames:
+            imu = _imu_between(seq, t_prev, fr.timestamp)
+            sys.track_stereo(fr.left, fr.right, fr.timestamp, imu=imu)
+            t_prev = fr.timestamp
+        assert sys.tracking_state == TrackingState.OK
+        assert sys.atlas.current.imu_initialized, "IMU never initialized"
+        # gyro bias of the synthetic stream is zero
+        bg = sys.tracker.bias[0]
+        assert np.linalg.norm(bg) < 0.05, bg
+        traj = sys.tracker.trajectory
+        t_est = np.asarray([t for t, _, _ in traj])
+        p_est = np.asarray([-R.T @ t_ for _, R, t_ in traj])
+        ate = absolute_trajectory_error(t_est, p_est, seq.gt_t, seq.gt_pos)
+        assert ate["rmse"] < 0.06, ate
+
+    def test_dead_reckoning_through_blank_wall(self, imu_seq):
+        """IMU carries tracking through frames with no visual texture
+        (Tracking.cc RECENTLY_LOST inertial path): the trajectory stays
+        continuous and tracking recovers when texture returns."""
+        seq = imu_seq
+        sys = make_imu_system(seq)
+        blank = np.full_like(seq.frames[0].left, 128)
+        t_prev = -1.0
+        n_total = len(seq.frames)
+        blank_range = range(45, 51)
+        for i, fr in enumerate(seq.frames):
+            imu = _imu_between(seq, t_prev, fr.timestamp)
+            if i in blank_range:
+                sys.track_stereo(blank, blank, fr.timestamp, imu=imu)
+            else:
+                sys.track_stereo(fr.left, fr.right, fr.timestamp, imu=imu)
+            t_prev = fr.timestamp
+        assert sys.atlas.current.imu_initialized
+        # recovered to OK after the blank stretch
+        assert sys.tracking_state == TrackingState.OK
+        traj = sys.tracker.trajectory
+        # trajectory covers (nearly) every frame, including the blank ones
+        assert len(traj) >= n_total - 3
+        t_est = np.asarray([t for t, _, _ in traj])
+        p_est = np.asarray([-R.T @ t_ for _, R, t_ in traj])
+        ate = absolute_trajectory_error(t_est, p_est, seq.gt_t, seq.gt_pos)
+        # dead-reckoning drift over 0.3 s should stay small
+        assert ate["rmse"] < 0.12, ate
