@@ -514,7 +514,7 @@ class LocalMapper:
         state_free[:pad + 1] = False
 
         def stack_pre():
-            eye = np.eye(3, np.float32)
+            eye = np.eye(3, dtype=np.float32)
             def field(name, default):
                 vals = [default] * pad
                 for i in range(n_real - 1):

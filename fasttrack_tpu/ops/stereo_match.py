@@ -95,23 +95,36 @@ def match_rectified(
     safe_x = jnp.clip(l_xl, W_PATCH + L_SHIFT + 1, l_pyr.shape[2] - W_PATCH - L_SHIFT - 2)
     safe_ur = jnp.clip(scaled_uR, W_PATCH + L_SHIFT + 1, l_pyr.shape[2] - W_PATCH - L_SHIFT - 2)
 
-    # Patch gathers via vmapped dynamic_slice (measured 4-6x faster than
-    # advanced-indexing gathers on TPU); the right side fetches one widened
-    # (P, P+2*L_SHIFT) window per keypoint and the S shift candidates are
-    # cheap static slices of it in VMEM.
+    # Patch gathers, TPU-style: (a) ONE whole-row gather (major-axis take of
+    # contiguous rows — the only gather shape the TPU memory system likes),
+    # then (b) per-keypoint column selection as a batched one-hot matmul on
+    # the MXU. The earlier vmapped dynamic_slice form was a compile-time
+    # bomb (~4 min of XLA time on a v5e for this one op) and lowered to a
+    # serialized gather loop at runtime.
     ur0 = jnp.round(safe_ur).astype(jnp.int32)
     WIN = P + 2 * L_SHIFT
+    n_kp = l_uv.shape[0]
+    L_, H0, W0 = l_pyr.shape
 
-    def gather_one(li, yi, xi, uri):
-        pl = jax.lax.dynamic_slice(
-            l_pyr, (li, yi - W_PATCH, xi - W_PATCH), (1, P, P)
-        )[0]
-        pr = jax.lax.dynamic_slice(
-            r_pyr, (li, yi - W_PATCH, uri - W_PATCH - L_SHIFT), (1, P, WIN)
-        )[0]
-        return pl, pr
+    dy_off = jnp.arange(-W_PATCH, W_PATCH + 1, dtype=jnp.int32)
+    row_idx = (l_level * H0 + safe_y)[:, None] + dy_off[None, :]      # (N, P)
+    both = jnp.concatenate(
+        [l_pyr.reshape(L_ * H0, W0), r_pyr.reshape(L_ * H0, W0)], axis=1
+    )                                                                  # (L*H, 2W)
+    rows = jnp.take(both, row_idx.reshape(-1), axis=0).reshape(n_kp, P, 2 * W0)
+    rows_l = rows[:, :, :W0]
+    rows_r = rows[:, :, W0:]
 
-    patch_l, win_r = jax.vmap(gather_one)(l_level, safe_y, safe_x, ur0)
+    w_range = jnp.arange(W0, dtype=jnp.int32)
+    col_l = (safe_x[:, None] + dy_off[None, :])                        # (N, P)
+    oh_l = (w_range[None, :, None] == col_l[:, None, :]).astype(rows.dtype)
+    patch_l = jnp.einsum("npw,nwq->npq", rows_l, oh_l,
+                         precision=jax.lax.Precision.HIGHEST)          # (N, P, P)
+    dx_win = jnp.arange(-W_PATCH - L_SHIFT, W_PATCH + L_SHIFT + 1, dtype=jnp.int32)
+    col_r = ur0[:, None] + dx_win[None, :]                             # (N, WIN)
+    oh_r = (w_range[None, :, None] == col_r[:, None, :]).astype(rows.dtype)
+    win_r = jnp.einsum("npw,nwq->npq", rows_r, oh_r,
+                       precision=jax.lax.Precision.HIGHEST)            # (N, P, WIN)
     patch_l = patch_l - patch_l[:, W_PATCH, W_PATCH][:, None, None]
     patch_r = jnp.stack(
         [win_r[:, :, s:s + P] for s in range(S)], axis=1

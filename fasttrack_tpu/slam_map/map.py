@@ -49,6 +49,61 @@ class Map:
             if kf is not None and 0 <= idx < len(kf.mp_ids) and kf.mp_ids[idx] == mid:
                 kf.mp_ids[idx] = -1
 
+    def replace_mappoint(self, old_mid: int, new_mid: int):
+        """MapPoint::Replace: rebind every observation of ``old`` to ``new``
+        (skipping keyframes that already observe ``new``), merge the
+        visible/found counters, and retire ``old``."""
+        if old_mid == new_mid:
+            return
+        old = self.mappoints.get(old_mid)
+        new = self.mappoints.get(new_mid)
+        if old is None or new is None:
+            return
+        for kf_id, idx in list(old.observations.items()):
+            kf = self.keyframes.get(kf_id)
+            if kf is None:
+                continue
+            if kf_id not in new.observations:
+                new.add_observation(kf_id, idx)
+                if 0 <= idx < len(kf.mp_ids):
+                    kf.mp_ids[idx] = new_mid
+            else:
+                if 0 <= idx < len(kf.mp_ids) and kf.mp_ids[idx] == old_mid:
+                    kf.mp_ids[idx] = -1
+        new.n_visible += old.n_visible
+        new.n_found += old.n_found
+        old.observations.clear()
+        old.bad = True
+        old.replaced_by = new_mid
+        self.mappoints.pop(old_mid, None)
+
+    def refresh_mappoint(self, mp: MapPoint, scale_factor: float, n_levels: int):
+        """ComputeDistinctiveDescriptors + UpdateNormalAndDepth after the
+        observation set changed (MapPoint.cc)."""
+        if mp.bad or not mp.observations:
+            return
+        descs_p, descs_s, centers = [], [], {}
+        ref_level = 0
+        ref_center = None
+        for kf_id, idx in mp.observations.items():
+            kf = self.keyframes.get(kf_id)
+            if kf is None or idx >= len(kf.mp_ids):
+                continue
+            descs_p.append(kf.desc_packed[idx])
+            descs_s.append(kf.desc_signed[idx])
+            centers[kf_id] = kf.center
+            if kf_id == mp.ref_kf_id:
+                ref_level = int(kf.kp_level[idx])
+                ref_center = kf.center
+        if not descs_p:
+            return
+        mp.update_descriptor(np.asarray(descs_p), np.asarray(descs_s))
+        if ref_center is None:
+            ref_kf = self.keyframes.get(next(iter(mp.observations)))
+            ref_center = ref_kf.center
+        mp.update_normal_and_depth(centers, ref_center, ref_level,
+                                   scale_factor, n_levels)
+
     def erase_keyframe(self, kid: int):
         """KeyFrame::SetBadFlag: detach observations, reparent children."""
         kf = self.keyframes.get(kid)

@@ -1090,6 +1090,13 @@ class Tracker:
         kf = m.keyframes.get(self.ref_kf_id)
         if kf is None:
             return False
+        # Inertial pre-init: insert a keyframe every 0.25 s so the temporal
+        # chain densifies fast enough for IMU initialization
+        # (Tracking.cc NeedNewKeyFrame inertial branch: >=0.25s pre-init).
+        if self.use_imu and not m.imu_initialized:
+            last_kf = m.keyframes.get(getattr(self, "last_kf_id", None))
+            if last_kf is not None and frame.timestamp - last_kf.timestamp >= 0.25:
+                return True
         min_obs = 3 if m.n_keyframes() > 2 else 2
         ref_matches = kf.tracked_map_points(m.mappoints, min_obs)
         if ref_matches == 0:
