@@ -35,6 +35,23 @@ class Vocabulary(NamedTuple):
         return Vocabulary(d["words"], d["idf"])
 
 
+_DEFAULT_VOCAB = None
+
+
+def load_default_vocabulary():
+    """The shipped vocabulary artifact (the reference always loads
+    Vocabulary/ORBvoc.txt, System.cc:130-146; ours is a k-majority vocab
+    trained on ORB descriptors from varied synthetic scenes,
+    tools/train_default_vocab.py). Cached per process."""
+    global _DEFAULT_VOCAB
+    if _DEFAULT_VOCAB is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "orb_vocab.npz")
+        _DEFAULT_VOCAB = Vocabulary.load(path)
+    return _DEFAULT_VOCAB
+
+
 @jax.jit
 def _assign(descs: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
     d = hamming_matrix(descs, words)

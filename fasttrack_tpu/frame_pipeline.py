@@ -89,8 +89,8 @@ def _stereo_match_stage(
         [config.scale_factor**l for l in range(config.n_levels)], dtype=jnp.float32
     )
     sm: StereoMatches = match_rectified(
-        jnp.stack([kl.x, kl.y], -1), kl.level, kl.desc_signed, kl.valid,
-        jnp.stack([kr.x, kr.y], -1), kr.level, kr.desc_signed, kr.valid,
+        kl.x, kl.y, kl.level, kl.desc_signed, kl.valid,
+        kr.x, kr.y, kr.level, kr.desc_signed, kr.valid,
         pyr_l_raw, pyr_r_raw, kl.xl, kl.yl, scale_factors, bf, min_z,
     )
     return sm, jnp.sum(kl.valid.astype(jnp.int32))
@@ -104,7 +104,8 @@ def _search_optimize_stage(
     bf: jnp.ndarray,
     cam,                      # cameras.models.Camera (pytree)
     T0,                       # geometry.SE3 initial pose guess
-    map_uv: jnp.ndarray,      # (M, 2) projected map-point positions
+    map_u: jnp.ndarray,       # (M,) projected map-point u (x/y split: packed
+    map_v: jnp.ndarray,       #   (M,2) arrays are TPU-lane-hostile)
     map_desc: jnp.ndarray,    # (M, 256) int8
     map_pos: jnp.ndarray,     # (M, 3) world positions
     map_radius: jnp.ndarray,  # (M,) search radii
@@ -126,8 +127,8 @@ def _search_optimize_stage(
         [config.scale_factor**l for l in range(config.n_levels)], dtype=jnp.float32
     )
     res = search_by_projection(
-        map_uv, map_desc, map_radius, map_lmin, map_lmax, map_ok,
-        jnp.stack([kl.x, kl.y], -1), kl.desc_signed, kl.level, kl.valid,
+        map_u, map_v, map_desc, map_radius, map_lmin, map_lmax, map_ok,
+        kl.x, kl.y, kl.desc_signed, kl.level, kl.valid,
     )
     obs_uv = jnp.stack([kl.x[res.idx], kl.y[res.idx]], -1)
     obs_ur = u_right[res.idx]
@@ -139,14 +140,13 @@ def _search_optimize_stage(
 
 
 def tracking_hot_path(
-    image_left: jnp.ndarray,
-    image_right: jnp.ndarray,
+    images: jnp.ndarray,      # (2, H, W) stacked L/R images (uint8 ok)
     config: OrbConfig,
     bf: jnp.ndarray,
     min_z: jnp.ndarray,
     cam,
     T0,
-    map_uv, map_desc, map_pos, map_radius, map_lmin, map_lmax, map_ok,
+    map_u, map_v, map_desc, map_pos, map_radius, map_lmin, map_lmax, map_ok,
 ):
     """The full per-frame tracking hot path in exactly THREE device programs
     (extract; stereo-match; search+optimize) with zero eager glue between
@@ -154,16 +154,17 @@ def tracking_hot_path(
     TPU's answer to the reference's persistent device residency
     (KernelController.cu:100-117): all intermediates stay on device, and the
     split points are chosen where XLA fusion across the boundary is
-    pathological rather than helpful."""
-    from fasttrack_tpu.ops.extractor import extract_orb_pair
+    pathological rather than helpful. The caller uploads both camera images
+    as ONE stacked uint8 tensor — one host->device transfer per frame."""
+    from fasttrack_tpu.ops.extractor import extract_orb_pair_stacked
 
-    kl, kr, pyr_l, pyr_r = extract_orb_pair(image_left, image_right, config)
+    kl, kr, pyr_l, pyr_r = extract_orb_pair_stacked(images, config)
     sm, n_valid = _stereo_match_stage(
         kl, kr, pyr_l.raw, pyr_r.raw, config, bf, min_z
     )
     res, opt = _search_optimize_stage(
         kl, sm.u_right, config, bf, cam, T0,
-        map_uv, map_desc, map_pos, map_radius, map_lmin, map_lmax, map_ok,
+        map_u, map_v, map_desc, map_pos, map_radius, map_lmin, map_lmax, map_ok,
     )
     return FrameData(kl, kr, sm.u_right, sm.depth, n_valid), res, opt
 
@@ -184,6 +185,23 @@ def process_stereo_frame(
     from fasttrack_tpu.ops.extractor import extract_orb_pair
 
     kl, kr, pyr_l, pyr_r = extract_orb_pair(image_left, image_right, config)
+    sm, n_valid = _stereo_match_stage(
+        kl, kr, pyr_l.raw, pyr_r.raw, config, bf, min_z
+    )
+    return FrameData(kl, kr, sm.u_right, sm.depth, n_valid)
+
+
+def process_stereo_frame_stacked(
+    images: jnp.ndarray,      # (2, H, W) stacked L/R (uint8 ok)
+    config: OrbConfig,
+    bf: jnp.ndarray,
+    min_z: jnp.ndarray,
+) -> FrameData:
+    """process_stereo_frame with a single stacked image upload (the
+    tracker's entry: one uint8 host->device transfer per frame)."""
+    from fasttrack_tpu.ops.extractor import extract_orb_pair_stacked
+
+    kl, kr, pyr_l, pyr_r = extract_orb_pair_stacked(images, config)
     sm, n_valid = _stereo_match_stage(
         kl, kr, pyr_l.raw, pyr_r.raw, config, bf, min_z
     )

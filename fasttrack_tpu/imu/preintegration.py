@@ -22,7 +22,9 @@ import jax.numpy as jnp
 from fasttrack_tpu.geometry.so3 import hat, so3_exp, so3_log, so3_right_jacobian
 
 GRAVITY_VALUE = 9.81  # ImuTypes.h:43
-GRAVITY = jnp.asarray([0.0, 0.0, -GRAVITY_VALUE], dtype=jnp.float32)
+# tuple, not a module-level jnp array (a captured device-buffer constant
+# degrades the runtime's dispatch path); jnp.asarray'd at trace time
+GRAVITY = (0.0, 0.0, -GRAVITY_VALUE)
 
 
 def _mm(a, b):
@@ -224,6 +226,7 @@ def predict_state(
     p2 = p1 + v1 t + 0.5 g t^2 + R1 dP(b)."""
     t = pre.dT
     R2 = _mm(R_wb, delta_rotation(pre, b))
-    v2 = v_w + GRAVITY * t + _mv(R_wb, delta_velocity(pre, b))
-    p2 = p_w + v_w * t + 0.5 * GRAVITY * t * t + _mv(R_wb, delta_position(pre, b))
+    g = jnp.asarray(GRAVITY, dtype=v_w.dtype)
+    v2 = v_w + g * t + _mv(R_wb, delta_velocity(pre, b))
+    p2 = p_w + v_w * t + 0.5 * g * t * t + _mv(R_wb, delta_position(pre, b))
     return R2, v2, p2

@@ -133,6 +133,7 @@ class LocalMapper:
         self._track_new_points(kf)
         self._cull_recent_mappoints(kf)
         self._create_new_mappoints(kf)
+        self._search_in_neighbors(kf)
         if m.n_keyframes() > 2:
             if self.imu_calib is not None and m.imu_initialized:
                 self._local_inertial_ba(kf)
@@ -145,20 +146,24 @@ class LocalMapper:
             self.loop_closer.insert_keyframe(kf)
 
     def _track_new_points(self, kf: KeyFrame):
-        """Register only map points CREATED at this keyframe for the culling
-        grace window (the reference's mlpRecentAddedMapPoints holds newly
-        triangulated points, not re-observed ones, LocalMapping.cc:388)."""
+        """LocalMapping::ProcessNewKeyFrame (LocalMapping.cc:298): register
+        map points CREATED at this keyframe for the culling grace window (the
+        reference's mlpRecentAddedMapPoints holds newly triangulated points,
+        not re-observed ones, LocalMapping.cc:388); RE-observed points get a
+        fresh distinctive descriptor + normal/depth, like the reference's
+        UpdateNormalAndDepth + ComputeDistinctiveDescriptors calls there."""
         m = self.atlas.current
         for i, mid in enumerate(kf.mp_ids):
             if mid < 0:
                 continue
             mp = m.mappoints.get(int(mid))
-            if (
-                mp is not None
-                and mp.first_kf_id == kf.kid
-                and kf.kid != m.init_kf_id  # init points are not probationary
-            ):
+            if mp is None or mp.bad:
+                continue
+            if mp.first_kf_id == kf.kid and kf.kid != m.init_kf_id:
+                # init points are not probationary
                 self.recent_mp_ids.append((int(mid), kf.kid))
+            elif mp.first_kf_id != kf.kid:
+                m.refresh_mappoint(mp, self.scale_factor, self.n_levels)
 
     def _cull_recent_mappoints(self, kf: KeyFrame):
         """MapPointCulling (LocalMapping.cc:346): drop points with poor
@@ -221,8 +226,10 @@ class LocalMapper:
             free2 = (kf.mp_ids < 0) & kf.valid
             var2 = (1.0 / sigma2)[kf.kp_level]
             idx2, keep = epipolar_match(
-                jnp.asarray(nb.kp_uv), jnp.asarray(nb.desc_signed), jnp.asarray(free1),
-                jnp.asarray(kf.kp_uv), jnp.asarray(kf.desc_signed), jnp.asarray(free2),
+                jnp.asarray(nb.kp_uv[:, 0]), jnp.asarray(nb.kp_uv[:, 1]),
+                jnp.asarray(nb.desc_signed), jnp.asarray(free1),
+                jnp.asarray(kf.kp_uv[:, 0]), jnp.asarray(kf.kp_uv[:, 1]),
+                jnp.asarray(kf.desc_signed), jnp.asarray(free2),
                 jnp.asarray(F12.astype(np.float32)),
                 jnp.asarray(var2.astype(np.float32)),
             )
@@ -283,120 +290,102 @@ class LocalMapper:
                 created += 1
         return created
 
+    # ------------------------------------------------- duplicate-point fusion
+    def _search_in_neighbors(self, kf: KeyFrame, n_neighbors: int = 10):
+        """LocalMapping::SearchInNeighbors (LocalMapping.cc:714): project the
+        current KF's map points into covisible neighbors (and one hop
+        further) and fuse duplicates via ORBmatcher::Fuse semantics
+        (ORBmatcher.cc:1247); then the reverse direction. Afterwards the
+        current KF's points get fresh distinctive descriptors and normals
+        (MapPoint::ComputeDistinctiveDescriptors / UpdateNormalAndDepth) and
+        the covisibility graph is rebuilt."""
+        m = self.atlas.current
+        targets = []
+        seen = {kf.kid}
+        for nid in kf.best_covisible(n_neighbors):
+            if nid in m.keyframes and nid not in seen:
+                targets.append(nid)
+                seen.add(nid)
+        for nid in list(targets):
+            for nid2 in m.keyframes[nid].best_covisible(5):
+                if nid2 in m.keyframes and nid2 not in seen:
+                    targets.append(nid2)
+                    seen.add(nid2)
+        if not targets:
+            return 0
+
+        n_fused = 0
+        cur_mids = [int(x) for x in kf.mp_ids if x >= 0]
+        for tid in targets:
+            n_fused += self._fuse_into(m.keyframes[tid], cur_mids)
+        back = sorted(
+            {int(x) for tid in targets for x in m.keyframes[tid].mp_ids if x >= 0}
+        )
+        n_fused += self._fuse_into(kf, back)
+
+        for mid in kf.mp_ids:
+            if mid >= 0:
+                mp = m.mappoints.get(int(mid))
+                if mp is not None and not mp.bad:
+                    m.refresh_mappoint(mp, self.scale_factor, self.n_levels)
+        m.update_connections(kf)
+        return n_fused
+
+    def _fuse_into(self, tkf: KeyFrame, mids: list, th: float = 3.0) -> int:
+        return fuse_mappoints_into(
+            self.atlas.current, tkf, mids, self.camera,
+            self.scale_factor, self.n_levels, th,
+        )
+
     # ------------------------------------------------------------- local BA
     def _local_ba(self, kf: KeyFrame):
-        """Assemble the covisibility window into a fixed-shape BAProblem and
-        run the device Schur solver (Optimizer.cc:1116 semantics)."""
+        """Covisibility-window BA (Optimizer.cc:1116 semantics): free window
+        = current KF + best covisible; fixed frontier = outside KFs
+        observing the window's points. Assembly/solve/writeback shared with
+        global BA and dist-BA (ba_assembly.solve_window)."""
+        from fasttrack_tpu.ba_assembly import assemble_window, write_back
+        from fasttrack_tpu.optim import local_bundle_adjustment as solve
+
         m = self.atlas.current
         local_ids = [kf.kid] + kf.best_covisible(BA_MAX_KFS - 1)
         local_ids = [k for k in local_ids if k in m.keyframes]
         local_set = set(local_ids)
 
-        # Collect window points.
+        # Window points + fixed frontier (KFs outside observing them).
         mp_ids = []
         seen = set()
+        dropped = 0
         for kid in local_ids:
             for mid in m.keyframes[kid].mp_ids:
                 if mid >= 0 and int(mid) not in seen:
                     mp = m.mappoints.get(int(mid))
                     if mp is not None and not mp.bad:
                         seen.add(int(mid))
-                        mp_ids.append(int(mid))
-        mp_ids = mp_ids[:BA_MAX_POINTS]
+                        if len(mp_ids) < BA_MAX_POINTS:
+                            mp_ids.append(int(mid))
+                        else:
+                            dropped += 1
+        if dropped:
+            import logging
 
-        # Fixed frontier: KFs outside the window observing these points.
+            logging.getLogger(__name__).info(
+                "local_ba: window overflow, dropped %d points (cap %d)",
+                dropped, BA_MAX_POINTS,
+            )
         fixed_ids = []
         for mid in mp_ids:
             for kid in m.mappoints[mid].observations:
-                if kid not in local_set and kid in m.keyframes:
-                    if kid not in fixed_ids:
-                        fixed_ids.append(kid)
+                if kid not in local_set and kid in m.keyframes and kid not in fixed_ids:
+                    fixed_ids.append(kid)
             if len(local_ids) + len(fixed_ids) >= BA_MAX_KFS:
                 break
-        all_kf_ids = (local_ids + fixed_ids)[:BA_MAX_KFS]
-        # Gauge: if no fixed frontier, fix the oldest KF in the window.
-        n_fixed = len(all_kf_ids) - len([k for k in all_kf_ids if k in local_set])
-        K = BA_MAX_KFS
-        L = BA_MAX_POINTS
 
-        kf_index = {kid: j for j, kid in enumerate(all_kf_ids)}
-        R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
-        t = np.zeros((K, 3), np.float32)
-        cam_free = np.zeros(K, bool)
-        for kid, j in kf_index.items():
-            kkf = m.keyframes[kid]
-            R[j] = kkf.R_cw
-            t[j] = kkf.t_cw
-            cam_free[j] = kid in local_set
-        if n_fixed == 0 and len(all_kf_ids) > 1:
-            oldest = min(all_kf_ids)
-            cam_free[kf_index[oldest]] = False
-
-        pts = np.zeros((L, 3), np.float32)
-        pt_free = np.zeros(L, bool)
-        obs_uv = np.zeros((L, K, 2), np.float32)
-        obs_ur = np.full((L, K), -1.0, np.float32)
-        inv_s2 = np.ones((L, K), np.float32)
-        mask = np.zeros((L, K), bool)
-        for li, mid in enumerate(mp_ids):
-            mp = m.mappoints[mid]
-            pts[li] = mp.position
-            pt_free[li] = True
-            for kid, fi in mp.observations.items():
-                j = kf_index.get(kid)
-                if j is None:
-                    continue
-                kkf = m.keyframes[kid]
-                if fi >= len(kkf.kp_uv) or not kkf.valid[fi]:
-                    continue
-                obs_uv[li, j] = kkf.kp_uv[fi]
-                obs_ur[li, j] = kkf.u_right[fi]
-                inv_s2[li, j] = self.inv_sigma2[kkf.kp_level[fi]]
-                mask[li, j] = True
-
-        prob = BAProblem(
-            poses=SE3(jnp.asarray(R), jnp.asarray(t)),
-            points=jnp.asarray(pts),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_ur=jnp.asarray(obs_ur),
-            inv_sigma2=jnp.asarray(inv_s2),
-            mask=jnp.asarray(mask),
-            cam_free=jnp.asarray(cam_free),
-            point_free=jnp.asarray(pt_free),
+        prob, meta, _ = assemble_window(
+            m, local_ids, fixed_ids[: BA_MAX_KFS - len(local_ids)],
+            self.inv_sigma2, BA_MAX_KFS, BA_MAX_POINTS, mp_ids,
         )
-        res = local_bundle_adjustment(prob, self.camera, jnp.float32(self.bf))
-
-        # Write back poses/points; drop outlier observations.
-        R_new = np.asarray(res.poses.R, np.float64)
-        t_new = np.asarray(res.poses.t, np.float64)
-        pts_new = np.asarray(res.points, np.float64)
-        inl = np.asarray(res.inlier_mask)
-        from fasttrack_tpu.nputils import orthonormalize
-
-        # A diverged solve (all steps rejected, or float32 overflow in a
-        # degenerate window) can leave non-finite entries; never write those
-        # back into the map.
-        for kid, j in kf_index.items():
-            if cam_free[j] and np.isfinite(R_new[j]).all() and np.isfinite(t_new[j]).all():
-                m.keyframes[kid].set_pose(orthonormalize(R_new[j]), t_new[j])
-        for li, mid in enumerate(mp_ids):
-            mp = m.mappoints.get(mid)
-            if mp is None:
-                continue
-            if np.isfinite(pts_new[li]).all():
-                mp.position = pts_new[li]
-            for kid, fi in list(mp.observations.items()):
-                j = kf_index.get(kid)
-                if j is None or not mask[li, j]:
-                    continue
-                if not inl[li, j]:
-                    kkf = m.keyframes.get(kid)
-                    if kkf is not None and kkf.mp_ids[fi] == mid:
-                        kkf.mp_ids[fi] = -1
-                    if mp.erase_observation(kid):
-                        m.erase_mappoint(mid)
-                        break
-        m.info_changed()
+        res = solve(prob, self.camera, jnp.float32(self.bf))
+        write_back(m, meta, res)
 
     # ------------------------------------------------------- inertial backend
     def _temporal_chain(self, kf: KeyFrame, max_len: int = 64):
@@ -716,3 +705,81 @@ class LocalMapper:
                         prev.next_kf_id = nxt.kid
                         nxt.prev_kf_id = prev.kid
                 m.erase_keyframe(other.kid)
+
+
+def fuse_mappoints_into(m, tkf, mids, camera, scale_factor: float,
+                        n_levels: int, th: float = 3.0) -> int:
+    """ORBmatcher::Fuse (ORBmatcher.cc:1247): project map points into
+    ``tkf``, window-search a matching keypoint under TH_LOW, then either
+    merge with the keypoint's bound point (keep the better-observed one,
+    MapPoint::Replace) or add a new observation. Shared by
+    LocalMapping::SearchInNeighbors (LocalMapping.cc:714) and the loop
+    closer's SearchAndFuse (LoopClosing.cc:2115)."""
+    from fasttrack_tpu.cameras.host import (
+        frustum_depth_ok, in_image_np, project_np,
+    )
+    from fasttrack_tpu.ops.host_kernels import host_search_by_projection
+
+    if not mids:
+        return 0
+    mps = []
+    for mid in mids:
+        mp = m.mappoints.get(int(mid))
+        if (
+            mp is not None and not mp.bad and mp.desc_packed is not None
+            and tkf.kid not in mp.observations
+        ):
+            mps.append(mp)
+    if not mps:
+        return 0
+    pos = np.asarray([mp.position for mp in mps])
+    Xc = pos @ tkf.R_cw.T + tkf.t_cw
+    uv = project_np(camera, Xc)
+    dist = np.linalg.norm(Xc, axis=1)
+    normals = np.asarray([mp.normal for mp in mps])
+    view = pos - tkf.center
+    view_n = view / np.maximum(np.linalg.norm(view, axis=1, keepdims=True), 1e-9)
+    min_d = np.asarray([0.8 * mp.min_distance for mp in mps])
+    max_d = np.asarray([1.2 * mp.max_distance for mp in mps])
+    ok = (
+        frustum_depth_ok(camera, Xc)
+        & in_image_np(camera, uv)
+        & (dist >= min_d) & (dist <= max_d)
+        & (np.sum(normals * view_n, axis=1) > 0.5)
+    )
+    if not ok.any():
+        return 0
+    levels = np.asarray([
+        mp.predict_scale(float(d), scale_factor, n_levels)
+        for mp, d in zip(mps, dist)
+    ], np.int32)
+    radius = (th * scale_factor**levels).astype(np.float32)
+    q_packed = np.asarray([mp.desc_packed for mp in mps])
+    idx, _, hit = host_search_by_projection(
+        uv.astype(np.float32), q_packed, radius,
+        np.maximum(levels - 1, 0), np.minimum(levels + 1, n_levels - 1),
+        ok, tkf.kp_uv.astype(np.float32), tkf.desc_packed,
+        tkf.kp_level.astype(np.int32), tkf.valid,
+        max_dist=50,  # TH_LOW: fusion requires a strong match
+    )
+    n_fused = 0
+    for q in np.where(hit)[0]:
+        mp = mps[q]
+        if mp.bad:
+            continue
+        i = int(idx[q])
+        cur = int(tkf.mp_ids[i])
+        if cur >= 0:
+            other = m.mappoints.get(cur)
+            if other is None or other.bad or other.mid == mp.mid:
+                continue
+            # keep the better-observed point (ORBmatcher.cc:1330-1338)
+            if other.n_obs() >= mp.n_obs():
+                m.replace_mappoint(mp.mid, other.mid)
+            else:
+                m.replace_mappoint(other.mid, mp.mid)
+        else:
+            mp.add_observation(tkf.kid, i)
+            tkf.mp_ids[i] = mp.mid
+        n_fused += 1
+    return n_fused

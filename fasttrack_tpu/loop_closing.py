@@ -39,7 +39,10 @@ class LoopCloser:
         fix_scale: bool = True,   # stereo/RGBD/inertial: scale is observable
         min_consistency: int = 2, # consecutive-detection requirement (ref: 3)
         run_async: bool = False,
-        run_gba: bool = False,
+        run_gba: bool = True,
+        camera=None,              # cameras.models.Camera (enables GBA + fuse)
+        bf: float = 0.0,
+        n_levels: int = 8,
     ):
         self.atlas = atlas
         self.voc = vocabulary
@@ -50,8 +53,15 @@ class LoopCloser:
         self.db = KeyFrameDatabase()
         self._consistency: dict[int, int] = {}  # candidate group -> count
         self.n_loops_closed = 0
+        self.n_maps_merged = 0
+        self.n_gba_runs = 0
         self.last_loop_kf_id = -1
         self.run_gba = run_gba
+        self.camera = camera
+        self.bf = float(bf)
+        self.n_levels = n_levels
+        self.inv_sigma2 = 1.0 / (scale_factor ** (2 * np.arange(n_levels)))
+        self.abort_gba = False    # mbStopGBA: a new KF interrupts a running GBA
         self.run_async = run_async
         self._queue: queue.Queue = queue.Queue()
         self._stop = False
@@ -61,6 +71,7 @@ class LoopCloser:
             self._thread.start()
 
     def insert_keyframe(self, kf: KeyFrame):
+        self.abort_gba = True  # LoopClosing.cc InsertKeyFrame sets mbStopGBA
         if self.run_async:
             self._queue.put(kf.kid)
         else:
@@ -86,8 +97,20 @@ class LoopCloser:
             _, kf.bow_vec = quantize(self.voc, kf.desc_signed, kf.valid)
         return kf.bow_vec
 
+    def _find_kf(self, kid: int):
+        """Locate a keyframe across all Atlas maps -> (map, kf) or (None, None)."""
+        for mm in self.atlas.maps:
+            kf = mm.keyframes.get(kid)
+            if kf is not None:
+                return mm, kf
+        return None, None
+
     def process_keyframe(self, kf_id: int) -> bool:
-        """Returns True if a loop was closed on this keyframe."""
+        """Returns True if a loop was closed (or a map merge welded) on this
+        keyframe. Candidates are searched across ALL Atlas maps
+        (NewDetectCommonRegions, LoopClosing.cc:324): a candidate in the
+        active map triggers CorrectLoop; one in another map triggers the
+        Atlas merge (MergeLocal, LoopClosing.cc:1215)."""
         m = self.atlas.current
         kf = m.keyframes.get(kf_id)
         if kf is None:
@@ -96,19 +119,22 @@ class LoopCloser:
 
         # 1) candidates excluding the covisible neighborhood
         connected = set(kf.covisible) | {kf_id}
-        covis_map = {
-            k: list(m.keyframes[k].covisible) for k in self.db.kf_bows
-            if k in m.keyframes
-        }
+        covis_map = {}
+        for k in self.db.kf_bows:
+            km_, kkf = self._find_kf(k)
+            if kkf is not None:
+                covis_map[k] = list(kkf.covisible)
         cands = self.db.detect_loop_candidates(
             bow, kf_id, connected, covisible=covis_map, n_best=3
         )
         closed = False
         for cand_id in cands:
+            cand_map, cand = self._find_kf(cand_id)
+            if cand is None:
+                continue
             # temporal consistency: require repeated hits on the same
             # covisibility neighborhood (LoopClosing consistency groups)
-            group = set(m.keyframes[cand_id].covisible) | {cand_id} \
-                if cand_id in m.keyframes else {cand_id}
+            group = set(cand.covisible) | {cand_id}
             hit = max(
                 (self._consistency.get(g, 0) for g in group), default=0
             ) + 1
@@ -116,17 +142,24 @@ class LoopCloser:
                 self._consistency[g] = hit
             if hit < self.min_consistency:
                 continue
-            if self._verify_and_correct(kf, cand_id):
-                closed = True
-                self._consistency.clear()
-                break
+            if cand_map is m:
+                if self._verify_and_correct(kf, cand_id):
+                    closed = True
+                    self._consistency.clear()
+                    break
+            else:
+                if self._merge_maps(kf, m, cand_map, cand):
+                    closed = True
+                    self._consistency.clear()
+                    break
 
         self.db.add(kf_id, bow)
         return closed
 
-    def _matched_points(self, kf: KeyFrame, cand: KeyFrame, m):
-        """Descriptor-match bound map points of both KFs; return camera-frame
-        coordinates + observations for Sim3 solving."""
+    def _matched_points(self, kf: KeyFrame, m1, cand: KeyFrame, m2):
+        """Descriptor-match bound map points of both KFs (kf's points from
+        map m1, cand's from m2 — different maps during a merge); return
+        camera-frame coordinates + observations for Sim3 solving."""
         bound_c = np.where(kf.mp_ids >= 0)[0]
         bound_l = np.where(cand.mp_ids >= 0)[0]
         if len(bound_c) < 20 or len(bound_l) < 20:
@@ -142,8 +175,8 @@ class LoopCloser:
         il = bound_l[np.asarray(res.idx_right)[ok]]
         X1, X2, uv1, uv2, s1, s2 = [], [], [], [], [], []
         for a, b in zip(ic, il):
-            mp1 = m.mappoints.get(int(kf.mp_ids[a]))
-            mp2 = m.mappoints.get(int(cand.mp_ids[b]))
+            mp1 = m1.mappoints.get(int(kf.mp_ids[a]))
+            mp2 = m2.mappoints.get(int(cand.mp_ids[b]))
             if mp1 is None or mp2 is None or mp1.bad or mp2.bad:
                 continue
             X1.append(kf.R_cw @ mp1.position + kf.t_cw)
@@ -162,7 +195,7 @@ class LoopCloser:
         cand = m.keyframes.get(cand_id)
         if cand is None:
             return False
-        mp = self._matched_points(kf, cand, m)
+        mp = self._matched_points(kf, m, cand, m)
         if mp is None:
             return False
         X1, X2, uv1, uv2, s1, s2, ic, il = mp
@@ -272,6 +305,173 @@ class LoopCloser:
             corr_inv = sim3_inv((sn, Rn, tn))
             si, Ri, ti = corr_inv
             p.position = si * (Ri @ xc) + ti
+
+        # SearchAndFuse (LoopClosing.cc:2115): project the loop region's
+        # points into the corrected current group and merge duplicates.
+        if self.camera is not None:
+            from fasttrack_tpu.local_mapping import fuse_mappoints_into
+
+            loop_mids = [int(x) for x in cand.mp_ids if x >= 0]
+            for cid in [cand.kid] + list(cand.covisible)[:10]:
+                ckf = m.keyframes.get(cid)
+                if ckf is not None:
+                    loop_mids.extend(int(x) for x in ckf.mp_ids if x >= 0)
+            loop_mids = sorted(set(loop_mids))
+            for gid in [kf.kid] + list(kf.covisible)[:10]:
+                g = m.keyframes.get(gid)
+                if g is not None:
+                    fuse_mappoints_into(
+                        m, g, loop_mids, self.camera,
+                        self.scale_factor, self.n_levels, th=4.0,
+                    )
+            m.update_connections(kf)
+
         m.info_changed()
         self.n_loops_closed += 1
         self.last_loop_kf_id = kf.kid
+
+        # Global BA (RunGlobalBundleAdjustment, LoopClosing.cc:2268):
+        # relax the whole map after the weld; interruptible by a new KF.
+        if self.run_gba and self.camera is not None:
+            self._run_global_ba(fixed_kf_ids={cand.kid})
+
+    def _run_global_ba(self, fixed_kf_ids=None):
+        """Whole-map BA after a loop/merge (LoopClosing.cc:2268-2512). The
+        reference spawns a GBA thread and merges results back under the map
+        lock; here the loop-closer thread already holds the map lock, and the
+        sweep polls `abort_gba` between fixed-shape blocks (the mbStopGBA
+        protocol) so a new keyframe interrupts it."""
+        from fasttrack_tpu.ba_assembly import global_bundle_adjustment
+
+        self.abort_gba = False
+        m = self.atlas.current
+        global_bundle_adjustment(
+            m, self.camera, self.bf, self.inv_sigma2,
+            fixed_kf_ids=fixed_kf_ids,
+            should_abort=lambda: self.abort_gba,
+        )
+        self.n_gba_runs += 1
+
+    # ------------------------------------------------------------- map merge
+    def _merge_maps(self, kf: KeyFrame, m_new, m_old, cand: KeyFrame) -> bool:
+        """Atlas welding (MergeLocal, LoopClosing.cc:1215): the active map
+        (created after tracking was LOST) overlaps a previous map — verify a
+        Sim3 between the current KF and the old-map candidate, transform the
+        ENTIRE active map into the old map's frame, migrate its keyframes and
+        points, fuse duplicates at the weld, optimize the essential graph,
+        and make the old map current again. Recovers the reference's
+        "seamless multi-map fusion" instead of losing the pre-LOST history."""
+        mp = self._matched_points(kf, m_new, cand, m_old)
+        if mp is None:
+            return False
+        X1, X2, uv1, uv2, s1, s2, ic, il = mp
+        res = solve_sim3(
+            X1, X2, uv1, uv2, self.K, self.K, s1, s2,
+            fix_scale=self.fix_scale, min_inliers=20,
+        )
+        if not res.success:
+            return False
+        # S12: cand-camera -> current-camera. World-to-world:
+        # X_w2 = S_w2_w1 X_w1 with S_w2_w1 = T2w2^-1 * S12^-1 * T1w1.
+        S12 = (res.s, res.R, res.t)
+        T1w1 = (1.0, kf.R_cw.copy(), kf.t_cw.copy())
+        T2w2 = (1.0, cand.R_cw.copy(), cand.t_cw.copy())
+        S_w2_w1 = sim3_mul(sim3_inv(T2w2), sim3_mul(sim3_inv(S12), T1w1))
+        sw, Rw, tw = S_w2_w1
+        S_w2_w1_inv = sim3_inv(S_w2_w1)
+
+        with m_old.lock:
+            # migrate keyframes: T_g_w2 = T_g_w1 * S_w1_w2
+            for g in list(m_new.keyframes.values()):
+                sg, Rg, tg = sim3_mul((1.0, g.R_cw, g.t_cw), S_w2_w1_inv)
+                g.set_pose(orthonormalize(Rg), tg / sg)
+                m_old.add_keyframe(g)
+            # migrate points: X_w2 = S_w2_w1 X_w1
+            for p in list(m_new.mappoints.values()):
+                pos_new = sw * (Rw @ p.position) + tw
+                m_new.release_mappoint(p.mid)
+                p.position = pos_new
+                m_old.add_mappoint(p)
+            m_new.keyframes.clear()
+            m_new.mappoints.clear()
+
+            kf.loop_edges.add(cand.kid)
+            cand.loop_edges.add(kf.kid)
+            m_old.update_connections(kf)
+
+            # fuse duplicates at the weld (both directions)
+            if self.camera is not None:
+                from fasttrack_tpu.local_mapping import fuse_mappoints_into
+
+                old_mids = [int(x) for x in cand.mp_ids if x >= 0]
+                for cid in list(cand.covisible)[:10]:
+                    c2 = m_old.keyframes.get(cid)
+                    if c2 is not None:
+                        old_mids.extend(int(x) for x in c2.mp_ids if x >= 0)
+                old_mids = sorted(set(old_mids))
+                for gid in [kf.kid] + list(kf.covisible)[:10]:
+                    g = m_old.keyframes.get(gid)
+                    if g is not None:
+                        fuse_mappoints_into(
+                            m_old, g, old_mids, self.camera,
+                            self.scale_factor, self.n_levels, th=4.0,
+                        )
+                new_mids = [int(x) for x in kf.mp_ids if x >= 0]
+                fuse_mappoints_into(
+                    m_old, cand, new_mids, self.camera,
+                    self.scale_factor, self.n_levels, th=4.0,
+                )
+                m_old.update_connections(kf)
+                m_old.update_connections(cand)
+
+            # essential-graph relaxation over the union (the weld edge pulls
+            # the two trajectories into one consistent frame)
+            poses = {
+                kid: (1.0, g.R_cw.copy(), g.t_cw.copy())
+                for kid, g in m_old.keyframes.items()
+            }
+            edges = []
+            seen = set()
+            for kid, g in m_old.keyframes.items():
+                nbrs = []
+                if g.parent_id is not None:
+                    nbrs.append(g.parent_id)
+                nbrs += list(g.loop_edges)
+                nbrs += [c for c, w in g.covisible.items() if w >= 100]
+                for b in nbrs:
+                    if b == kid or (min(kid, b), max(kid, b)) in seen:
+                        continue
+                    if b not in poses:
+                        continue
+                    seen.add((min(kid, b), max(kid, b)))
+                    Sa, Sb = poses[kid], poses[b]
+                    edges.append((kid, b, sim3_mul(Sb, sim3_inv(Sa))))
+            optimized = optimize_essential_graph(
+                poses, edges, {cand.kid}, fix_scale=self.fix_scale, iterations=10
+            )
+            for kid, (sg, Rg, tg) in optimized.items():
+                g = m_old.keyframes.get(kid)
+                if g is not None:
+                    g.set_pose(orthonormalize(Rg), tg / sg)
+            m_old.info_changed()
+
+        # the old map becomes the active one; drop the emptied shell
+        self.atlas.change_map(m_old)
+        try:
+            self.atlas.remove_map(m_new)
+        except ValueError:
+            pass
+        # bring the tracker's frame-to-frame state into the merged frame
+        tracker = getattr(self, "tracker", None)
+        if tracker is not None and tracker.last_frame is not None \
+                and tracker.last_frame.R_cw is not None:
+            lf = tracker.last_frame
+            sg, Rg, tg = sim3_mul((1.0, lf.R_cw, lf.t_cw), S_w2_w1_inv)
+            lf.R_cw = orthonormalize(Rg)
+            lf.t_cw = tg / sg
+            tracker.velocity = None  # re-estimate in the merged frame
+        self.n_maps_merged += 1
+        if self.run_gba and self.camera is not None:
+            with m_old.lock:
+                self._run_global_ba(fixed_kf_ids={cand.kid})
+        return True

@@ -36,6 +36,23 @@ def hamming_matrix(s1: jnp.ndarray, s2: jnp.ndarray) -> jnp.ndarray:
     return (N_BITS - dot) // 2
 
 
+def hamming_matrix_f32(s1: jnp.ndarray, s2: jnp.ndarray) -> jnp.ndarray:
+    """(N, M) Hamming distances as float32 (values are exact integers <=256).
+
+    The matcher hot paths mask/argmin this matrix; on the TPU runtime in use,
+    elementwise combines of a large *computed int32* matrix with a computed
+    predicate mask degrade the session's dispatch path permanently (~25 ms
+    per subsequent sync, measured), while the identical program on float32
+    is clean. All matchers therefore work in f32; distances are exact."""
+    dot = jax.lax.dot_general(
+        s1,
+        s2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return ((N_BITS - dot) // 2).astype(jnp.float32)
+
+
 def hamming_matrix_packed(p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
     """Host (NumPy) fallback on packed (N, 32) uint8 descriptors — the
     CPU path of the offload toggles."""

@@ -9,12 +9,18 @@ Parity targets:
   ORBmatcher.cc:1775-2085) including the rotation-histogram consistency
   filter (ComputeThreeMaxima, ORBmatcher.cc:2210).
 
-TPU-first design: instead of walking a 64x48 grid per query (scalar gathers),
-we compute the full (M, N) Hamming matrix as ONE int8 MXU matmul and apply
-the window / level / taken masks as VPU selects. M<=25k queries x N~1k-2k
-keypoints x 256 bits is ~10-50 MFLOP-equivalent — far below one MXU pass's
-cost at these sizes, so the dense form is both simpler and faster than any
-sparse emulation.
+TPU-first design: instead of walking a 64x48 grid per query (scalar
+gathers), we compute the full (M, N) Hamming matrix as ONE int8 MXU matmul,
+keep the TOP_K best-Hamming candidates per query (lax.top_k), and apply all
+window / octave gating as additive float penalties over the small (M, K)
+candidate list; validity/taken gates enter the big matrix only as rank-1
+broadcast penalties. This exact op mix (dot, top_k, gathers, rank-1
+broadcasts, small-matrix arithmetic) is the TPU runtime's fast dispatch
+path — (M, N) pairwise window terms or predicate masks measured ~100x
+slower per synchronized call and degrade the whole session (see
+ops.stereo_match module docstring). Semantics are exact unless a true
+in-window match falls outside the K best-Hamming candidates (negligible
+for real descriptors; the reference's grid has per-cell caps too).
 """
 
 from __future__ import annotations
@@ -25,29 +31,45 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from fasttrack_tpu.ops.hamming import hamming_matrix
+from fasttrack_tpu.ops.hamming import hamming_matrix_f32
 
 TH_HIGH = 100  # ORBmatcher.cc:41
 TH_LOW = 50    # ORBmatcher.cc:42
 HISTO_LENGTH = 30
-BIG = jnp.int32(1 << 20)
+# Python floats, NOT jnp scalars: a module-level jnp constant is a DEVICE
+# buffer; capturing one into a jitted function embeds a cross-program
+# constant that knocks the whole session off the TPU runtime's fast
+# dispatch path (~25 ms/sync vs ~0.1 ms, measured; see stereo_match
+# docstring). Literals trace as compile-time immediates.
+BIG = 1e9
+PEN = 1e6
+TOP_K = 64     # Hamming candidates per query kept for window gating
 
 
 class MatchResult(NamedTuple):
     idx: jnp.ndarray    # (M,) int32 best frame-keypoint index (undefined if !ok)
-    dist: jnp.ndarray   # (M,) int32 best Hamming distance
+    dist: jnp.ndarray   # (M,) float32 best Hamming distance (exact integer)
     ok: jnp.ndarray     # (M,) bool
+
+
+def _arith_one_hot(idx, n):
+    iota = jnp.arange(n, dtype=jnp.float32)
+    return jnp.maximum(
+        1.0 - jnp.abs(iota[None, :] - idx.astype(jnp.float32)[..., None]), 0.0
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_dist", "ratio"))
 def search_by_projection(
-    q_uv: jnp.ndarray,        # (M, 2) projected query positions, level-0 px
-    q_desc: jnp.ndarray,      # (M, 256) int8 signed descriptors
+    q_u: jnp.ndarray,         # (M,) projected query u, level-0 px (x/y split:
+    q_v: jnp.ndarray,         #   packed (M,2) arrays waste 126/128 TPU lanes
+    q_desc: jnp.ndarray,      #   and slice off the fast dispatch path)
     q_radius: jnp.ndarray,    # (M,) search window radius (px)
     q_level_min: jnp.ndarray, # (M,) int32 inclusive octave gate
     q_level_max: jnp.ndarray, # (M,) int32 inclusive
     q_valid: jnp.ndarray,     # (M,) bool
-    kp_uv: jnp.ndarray,       # (N, 2) frame keypoint positions
+    kp_x: jnp.ndarray,        # (N,) frame keypoint positions
+    kp_y: jnp.ndarray,        # (N,)
     kp_desc: jnp.ndarray,     # (N, 256) int8
     kp_level: jnp.ndarray,    # (N,) int32
     kp_valid: jnp.ndarray,    # (N,) bool
@@ -58,36 +80,52 @@ def search_by_projection(
     """Best-match search with square-window + octave gating.
 
     The window test is the square |du|<=r, |dv|<=r — identical to the
-    reference's Frame::GetFeaturesInArea gate.
+    reference's Frame::GetFeaturesInArea gate — applied as a float penalty.
     """
-    d = hamming_matrix(q_desc, kp_desc)  # (M, N) int32
+    d = hamming_matrix_f32(q_desc, kp_desc)  # (M, N) float32
 
-    du = jnp.abs(kp_uv[None, :, 0] - q_uv[:, None, 0])
-    dv = jnp.abs(kp_uv[None, :, 1] - q_uv[:, None, 1])
-    in_window = (du <= q_radius[:, None]) & (dv <= q_radius[:, None])
-    in_level = (kp_level[None, :] >= q_level_min[:, None]) & (
-        kp_level[None, :] <= q_level_max[:, None]
-    )
-    mask = in_window & in_level & kp_valid[None, :] & q_valid[:, None]
+    # rank-1 validity/taken penalties on the full matrix, then top-K
+    # candidates per query; window/octave gating on the small (M, K) list
+    dm = d + (1.0 - q_valid.astype(jnp.float32))[:, None] * BIG
+    dm = dm + (1.0 - kp_valid.astype(jnp.float32))[None, :] * BIG
     if kp_taken is not None:
-        mask = mask & ~kp_taken[None, :]
+        dm = dm + kp_taken.astype(jnp.float32)[None, :] * BIG
 
-    dm = jnp.where(mask, d, BIG)
-    best_idx = jnp.argmin(dm, axis=1).astype(jnp.int32)
-    best_dist = jnp.take_along_axis(dm, best_idx[:, None], axis=1)[:, 0]
+    K = min(TOP_K, dm.shape[1])
+    neg_cd, ni = jax.lax.top_k(-dm, K)        # (M, K)
+    cd = -neg_cd
+    # 1-D source gathers only (2-D-source gathers serialize on TPU)
+    c_u = kp_x[ni]
+    c_v = kp_y[ni]
+    c_l = kp_level[ni].astype(jnp.float32)
+    du = jnp.abs(c_u - q_u[:, None])
+    dv = jnp.abs(c_v - q_v[:, None])
+    pen = (
+        jnp.maximum(du - q_radius[:, None], 0.0)
+        + jnp.maximum(dv - q_radius[:, None], 0.0)
+        + jnp.maximum(q_level_min[:, None].astype(jnp.float32) - c_l, 0.0)
+        + jnp.maximum(c_l - q_level_max[:, None].astype(jnp.float32), 0.0)
+    ) * PEN
+    cdp = cd + pen                             # (M, K)
+    j = jnp.argmin(cdp, axis=1)
+    best_idx = jnp.take_along_axis(ni, j[:, None], axis=1)[:, 0].astype(jnp.int32)
+    best_dist = jnp.min(cdp, axis=1)
     ok = best_dist <= max_dist
 
     if ratio is not None:
-        best_level = kp_level[best_idx]
-        dm2 = dm.at[jnp.arange(dm.shape[0]), best_idx].set(BIG)
-        second_idx = jnp.argmin(dm2, axis=1).astype(jnp.int32)
-        second_dist = jnp.take_along_axis(dm2, second_idx[:, None], axis=1)[:, 0]
-        second_level = kp_level[second_idx]
+        best_level = jnp.take_along_axis(
+            c_l, j[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
+        # knock out the chosen candidate in the SMALL (M, K) list
+        cdp2 = cdp + _arith_one_hot(j, K) * BIG
+        j2 = jnp.argmin(cdp2, axis=1)
+        second_dist = jnp.min(cdp2, axis=1)
+        second_level = jnp.take_along_axis(
+            c_l, j2[:, None], axis=1
+        )[:, 0].astype(jnp.int32)
         # ORBmatcher.cc:293-296: apply the ratio only when best and second
         # best live on the same pyramid level.
-        reject = (best_level == second_level) & (
-            best_dist.astype(jnp.float32) > ratio * second_dist.astype(jnp.float32)
-        )
+        reject = (best_level == second_level) & (best_dist > ratio * second_dist)
         ok = ok & ~reject
 
     return MatchResult(best_idx, best_dist, ok)
@@ -103,15 +141,15 @@ def rotation_consistency(
     dtheta = q_angle - kp_angle[res.idx]
     frac = (dtheta / (2 * jnp.pi)) % 1.0
     bins = jnp.clip((frac * HISTO_LENGTH).astype(jnp.int32), 0, HISTO_LENGTH - 1)
+    # histogram via arithmetic one-hot (no predicate intermediates)
     hist = jnp.sum(
-        jax.nn.one_hot(bins, HISTO_LENGTH, dtype=jnp.int32)
-        * res.ok[:, None].astype(jnp.int32),
+        _arith_one_hot(bins, HISTO_LENGTH) * res.ok[:, None].astype(jnp.float32),
         axis=0,
     )
     top3 = jax.lax.top_k(hist, 3)[0]
     # ORBmatcher: drop bins 2/3 when much weaker than the best bin.
-    keep2 = top3[1].astype(jnp.float32) >= 0.1 * top3[0].astype(jnp.float32)
-    keep3 = top3[2].astype(jnp.float32) >= 0.1 * top3[0].astype(jnp.float32)
+    keep2 = top3[1] >= 0.1 * top3[0]
+    keep3 = top3[2] >= 0.1 * top3[0]
     order = jnp.argsort(-hist)
     allowed = (bins == order[0]) | (keep2 & (bins == order[1])) | (
         keep3 & (bins == order[2])
@@ -121,61 +159,68 @@ def rotation_consistency(
 
 @jax.jit
 def twm_match(
-    q_uv, q_desc, q_radius, q_level_min, q_level_max, q_valid,
-    kp_uv, kp_desc, kp_level, kp_valid, q_angle, kp_angle,
+    q_u, q_v, q_desc, q_radius, q_level_min, q_level_max, q_valid,
+    kp_x, kp_y, kp_desc, kp_level, kp_valid, q_angle, kp_angle,
 ):
     """TrackWithMotionModel matcher: search + rotation-histogram filter +
     per-keypoint dedup, as ONE compiled program (eager per-op dispatch over
     the device link costs ~40x the compute here)."""
     res = search_by_projection(
-        q_uv, q_desc, q_radius, q_level_min, q_level_max, q_valid,
-        kp_uv, kp_desc, kp_level, kp_valid,
+        q_u, q_v, q_desc, q_radius, q_level_min, q_level_max, q_valid,
+        kp_x, kp_y, kp_desc, kp_level, kp_valid,
     )
     keep = rotation_consistency(q_angle, kp_angle, res)
-    keep = keep & resolve_duplicates(res._replace(ok=keep), kp_uv.shape[0])
+    keep = keep & resolve_duplicates(res._replace(ok=keep), kp_x.shape[0])
     return res.idx, keep
 
 
 @jax.jit
 def tlm_match(
-    q_uv, q_desc, q_radius, q_level_min, q_level_max, q_valid,
-    kp_uv, kp_desc, kp_level, kp_valid, kp_taken,
+    q_u, q_v, q_desc, q_radius, q_level_min, q_level_max, q_valid,
+    kp_x, kp_y, kp_desc, kp_level, kp_valid, kp_taken,
 ):
     """TrackLocalMap matcher: search with taken-mask + level-aware ratio +
     dedup, one compiled program."""
     res = search_by_projection(
-        q_uv, q_desc, q_radius, q_level_min, q_level_max, q_valid,
-        kp_uv, kp_desc, kp_level, kp_valid, kp_taken=kp_taken, ratio=0.8,
+        q_u, q_v, q_desc, q_radius, q_level_min, q_level_max, q_valid,
+        kp_x, kp_y, kp_desc, kp_level, kp_valid, kp_taken=kp_taken, ratio=0.8,
     )
-    keep = res.ok & resolve_duplicates(res, kp_uv.shape[0])
+    keep = res.ok & resolve_duplicates(res, kp_x.shape[0])
     return res.idx, keep
 
 
 @jax.jit
 def epipolar_match(
-    uv1, desc1, free1,        # KF1 keypoints (unbound only: free mask)
-    uv2, desc2, free2,        # KF2 keypoints
+    u1, v1, desc1, free1,     # KF1 keypoints (unbound only: free mask)
+    u2, v2, desc2, free2,     # KF2 keypoints
     F12,                      # (3,3) fundamental with x2^T F12 x1 = 0
     sigma2_2,                 # (N2,) level variance in image 2
 ):
     """Epipolar-constrained descriptor matching for triangulation
     (ORBmatcher::SearchForTriangulation, ORBmatcher.cc:1006): best Hamming
-    match under TH_LOW with the point-to-epiline chi2 gate."""
-    d = hamming_matrix(desc1, desc2)  # (N1, N2)
-    o1 = jnp.ones((uv1.shape[0], 1), uv1.dtype)
-    x1 = jnp.concatenate([uv1, o1], -1)
-    lines = x1 @ F12.T  # (N1, 3) epilines in image 2
-    a, b, c = lines[:, 0:1], lines[:, 1:2], lines[:, 2:3]
-    num = a * uv2[None, :, 0] + b * uv2[None, :, 1] + c
+    match under TH_LOW with the point-to-epiline chi2 gate (as a float
+    penalty)."""
+    d = hamming_matrix_f32(desc1, desc2)  # (N1, N2)
+    dm = d + (1.0 - free1.astype(jnp.float32))[:, None] * BIG
+    dm = dm + (1.0 - free2.astype(jnp.float32))[None, :] * BIG
+    K = min(TOP_K, dm.shape[1])
+    neg_cd, ni = jax.lax.top_k(-dm, K)        # (N1, K)
+    cd = -neg_cd
+    # epilines as rank-1 arithmetic: l = F12 @ [u1, v1, 1]
+    a = (F12[0, 0] * u1 + F12[0, 1] * v1 + F12[0, 2])[:, None]
+    b = (F12[1, 0] * u1 + F12[1, 1] * v1 + F12[1, 2])[:, None]
+    c = (F12[2, 0] * u1 + F12[2, 1] * v1 + F12[2, 2])[:, None]
+    c_u = u2[ni]
+    c_v = v2[ni]
+    num = a * c_u + b * c_v + c               # (N1, K)
     dsq = num**2 / jnp.maximum(a**2 + b**2, 1e-12)
-    ok_epi = dsq < 3.84 * sigma2_2[None, :]
-    mask = ok_epi & free1[:, None] & free2[None, :]
-    dm = jnp.where(mask, d, BIG)
-    best_idx = jnp.argmin(dm, axis=1).astype(jnp.int32)
-    best = jnp.take_along_axis(dm, best_idx[:, None], axis=1)[:, 0]
+    cdp = cd + jnp.maximum(dsq - 3.84 * sigma2_2[ni], 0.0) * PEN
+    j = jnp.argmin(cdp, axis=1)
+    best_idx = jnp.take_along_axis(ni, j[:, None], axis=1)[:, 0].astype(jnp.int32)
+    best = jnp.min(cdp, axis=1)
     ok = best <= TH_LOW
     # one-to-one: keep the best row per chosen column
-    keep = ok & resolve_duplicates(MatchResult(best_idx, best, ok), uv2.shape[0])
+    keep = ok & resolve_duplicates(MatchResult(best_idx, best, ok), u2.shape[0])
     return best_idx, keep
 
 
@@ -183,9 +228,9 @@ def resolve_duplicates(res: MatchResult, n_keypoints: int) -> jnp.ndarray:
     """Per-keypoint winner among queries that chose it (min distance), like
     the reference host loop that overwrites F.mvpMapPoints[idx].
 
-    Returns (M,) bool: query keeps its match."""
+    Returns (M,) bool: query keeps its match. 1-D ops only (fast path)."""
     m = res.idx.shape[0]
-    key = jnp.where(res.ok, res.dist, BIG)
+    key = res.dist + (1.0 - res.ok.astype(jnp.float32)) * BIG
     best_per_kp = jax.ops.segment_min(key, res.idx, num_segments=n_keypoints)
     winner_dist = best_per_kp[res.idx]
     is_winner = res.ok & (key == winner_dist)

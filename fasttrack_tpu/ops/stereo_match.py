@@ -12,10 +12,24 @@ Parity targets:
   all-pairs Hamming with the Lowe 0.7 ratio test.
 
 TPU-first design: the row-bucket scan becomes a full (N_L, N_R) MXU Hamming
-matmul with a row-window mask |y_L - y_R| <= 2*scale_L (the bucket radius,
-Frame.cc ComputeStereoMatches) and a disparity-window mask; the cooperative
-shared-memory refinement becomes a vmapped gather of 11x11 patches at 11
-integer shifts with a closed-form parabola fit.
+matmul, then a TOP-K CANDIDATE architecture: `lax.top_k` keeps the K=32
+best-Hamming candidates per left keypoint, and every gating window (row
+band, disparity band, octave band) is applied as an additive float penalty
+over the small (N, K) candidate list before the final argmin. Validity
+gates enter the (N, M) matrix only as rank-1 broadcast penalties.
+
+Why this exact shape: on the target TPU runtime, programs that build (N, M)
+pairwise window terms (two-sided broadcasts of per-keypoint vectors) or
+combine computed predicate masks with the distance matrix fall off the fast
+dispatch path — ~25 ms per synchronized call vs ~0.2 ms for this top-K
+form, measured, and they degrade every subsequent dispatch in the session.
+dot / top_k / gathers / rank-1 broadcasts / small (N, K) arithmetic all
+stay on the fast path. Semantics: exact except when a true in-window match
+is not among the K best-Hamming candidates (vanishingly rare for real
+descriptors; the reference's grid walk has analogous per-cell caps,
+CudaUtils keypointsPerCell=20). The cooperative shared-memory refinement
+becomes a whole-row gather + one-hot column matmul (MXU) with a
+closed-form parabola fit.
 """
 
 from __future__ import annotations
@@ -26,12 +40,36 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from fasttrack_tpu.ops.hamming import hamming_matrix
+from fasttrack_tpu.ops.hamming import hamming_matrix_f32
 
 TH_HIGH = 100
-BIG = jnp.int32(1 << 20)
+# Python floats, NOT jnp scalars: a module-level jnp constant is a DEVICE
+# buffer; capturing one into jitted code embeds a cross-program constant
+# that permanently degrades the session's dispatch path (measured).
+BIG = 1e9
+PEN = 1e6   # per-unit window-excess penalty (>> 256 max Hamming)
+TOP_K = 64    # Hamming candidates per query kept for window gating
 W_PATCH = 5   # half window (11x11 patch), StereoMatchKernel refine
 L_SHIFT = 5   # +-5 px sub-pixel search
+
+
+def valid_penalty(valid) -> jnp.ndarray:
+    """(n,) validity -> additive penalty (0 valid / 1e9 invalid)."""
+    return (1.0 - valid.astype(jnp.float32)) * BIG
+
+
+def band_penalty(x, lo, hi) -> jnp.ndarray:
+    """Penalty for x outside [lo, hi] (0 inside), scaled by PEN."""
+    return (jnp.maximum(lo - x, 0.0) + jnp.maximum(x - hi, 0.0)) * PEN
+
+
+def arithmetic_one_hot(idx, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """one_hot(idx, n) as pure float arithmetic (no predicate compare):
+    max(1 - |iota - idx|, 0) — exact for integer-valued inputs."""
+    iota = jnp.arange(n, dtype=jnp.float32)
+    return jnp.maximum(
+        1.0 - jnp.abs(iota[None, :] - idx.astype(jnp.float32)[..., None]), 0.0
+    ).astype(dtype)
 
 
 class StereoMatches(NamedTuple):
@@ -42,13 +80,17 @@ class StereoMatches(NamedTuple):
 
 @jax.jit
 def match_rectified(
-    # left keypoints
-    l_uv: jnp.ndarray,      # (N, 2) level-0 coords (undistorted/rectified)
+    # left keypoints (x/y as separate 1-D arrays: an (N, 2) packed array
+    # wastes 126 of 128 lanes in TPU tiling and its cross-program slicing
+    # falls off the fast dispatch path — measured)
+    l_x: jnp.ndarray,       # (N,) level-0 coords (undistorted/rectified)
+    l_y: jnp.ndarray,       # (N,)
     l_level: jnp.ndarray,   # (N,)
     l_desc: jnp.ndarray,    # (N, 256) int8
     l_valid: jnp.ndarray,   # (N,)
     # right keypoints
-    r_uv: jnp.ndarray,      # (M, 2)
+    r_x: jnp.ndarray,       # (M,)
+    r_y: jnp.ndarray,       # (M,)
     r_level: jnp.ndarray,   # (M,)
     r_desc: jnp.ndarray,    # (M, 256) int8
     r_valid: jnp.ndarray,   # (M,)
@@ -62,30 +104,40 @@ def match_rectified(
     min_z: jnp.ndarray,     # baseline (minZ = b, Frame.cc:842)
 ) -> StereoMatches:
     """One-shot rectified stereo matching + refinement + median cull."""
-    n = l_uv.shape[0]
-    d = hamming_matrix(l_desc, r_desc)  # (N, M)
+    n = l_x.shape[0]
+    d = hamming_matrix_f32(l_desc, r_desc)  # (N, M) float32
 
-    # Row window: |yR - yL| <= 2 * scale_L (the reference's row-bucket
-    # radius, Frame.cc ComputeStereoMatches vRowIndices fill).
+    # Validity as rank-1 penalties on the full matrix; then keep the TOP_K
+    # best-Hamming candidates per left keypoint and gate those by the row
+    # window |yR - yL| <= 2 * scale_L (the reference's row-bucket radius,
+    # Frame.cc ComputeStereoMatches), the disparity window
+    # uR in [uL - maxD, uL + 3], and the octave band +-1 — small (N, K)
+    # arithmetic (see module docstring for why this shape).
+    dm = d + valid_penalty(l_valid)[:, None] + valid_penalty(r_valid)[None, :]
+    neg_cd, ni = jax.lax.top_k(-dm, TOP_K)   # (N, K)
+    cd = -neg_cd
+    c_y = r_y[ni]
+    c_x = r_x[ni]
+    c_l = r_level[ni].astype(jnp.float32)
     r_row = 2.0 * scale_factors[l_level]
-    dy = jnp.abs(r_uv[None, :, 1] - l_uv[:, None, 1])
-    in_row = dy <= r_row[:, None]
-
-    # Disparity window: uR in [uL - maxD, uL - minD], minD=0, maxD=bf/minZ.
+    dy = jnp.abs(c_y - l_y[:, None])
+    du = l_x[:, None] - c_x                  # = disparity if matched
+    dl = jnp.abs(c_l - l_level[:, None].astype(jnp.float32))
     max_d = bf / min_z
-    du = l_uv[:, None, 0] - r_uv[None, :, 0]  # = disparity if matched
-    in_disp = (du >= -3.0) & (du <= max_d)    # small negative slack pre-refine
-
-    in_level = jnp.abs(r_level[None, :] - l_level[:, None]) <= 1
-    mask = in_row & in_disp & in_level & l_valid[:, None] & r_valid[None, :]
-    dm = jnp.where(mask, d, BIG)
-    best_idx = jnp.argmin(dm, axis=1).astype(jnp.int32)
-    best_dist = jnp.take_along_axis(dm, best_idx[:, None], axis=1)[:, 0]
-    matched = best_dist <= TH_HIGH
+    pen = (
+        jnp.maximum(dy - r_row[:, None], 0.0)
+        + jnp.maximum(-3.0 - du, 0.0) + jnp.maximum(du - max_d, 0.0)
+        + jnp.maximum(dl - 1.0, 0.0)
+    ) * PEN
+    cdp = cd + pen                            # (N, K)
+    j = jnp.argmin(cdp, axis=1)
+    best_idx = jnp.take_along_axis(ni, j[:, None], axis=1)[:, 0].astype(jnp.int32)
+    best_dist = jnp.min(cdp, axis=1)
+    matched = best_dist <= TH_HIGH  # (N,) — small 1-D bools are fine
 
     # --- sub-pixel refinement at the left keypoint's octave -----------------
     inv_scale = 1.0 / scale_factors
-    uR0 = r_uv[best_idx, 0]
+    uR0 = r_x[best_idx]
     scaled_uR = uR0 * inv_scale[l_level]  # right u at left's octave
 
     P = 2 * W_PATCH + 1
@@ -98,12 +150,12 @@ def match_rectified(
     # Patch gathers, TPU-style: (a) ONE whole-row gather (major-axis take of
     # contiguous rows — the only gather shape the TPU memory system likes),
     # then (b) per-keypoint column selection as a batched one-hot matmul on
-    # the MXU. The earlier vmapped dynamic_slice form was a compile-time
-    # bomb (~4 min of XLA time on a v5e for this one op) and lowered to a
-    # serialized gather loop at runtime.
+    # the MXU (arithmetic one-hot: no predicate intermediates). The earlier
+    # vmapped dynamic_slice form was a compile-time bomb (~4 min of XLA time
+    # on a v5e) and lowered to a serialized gather loop at runtime.
     ur0 = jnp.round(safe_ur).astype(jnp.int32)
     WIN = P + 2 * L_SHIFT
-    n_kp = l_uv.shape[0]
+    n_kp = n
     L_, H0, W0 = l_pyr.shape
 
     dy_off = jnp.arange(-W_PATCH, W_PATCH + 1, dtype=jnp.int32)
@@ -115,14 +167,13 @@ def match_rectified(
     rows_l = rows[:, :, :W0]
     rows_r = rows[:, :, W0:]
 
-    w_range = jnp.arange(W0, dtype=jnp.int32)
     col_l = (safe_x[:, None] + dy_off[None, :])                        # (N, P)
-    oh_l = (w_range[None, :, None] == col_l[:, None, :]).astype(rows.dtype)
+    oh_l = arithmetic_one_hot(col_l, W0).transpose(0, 2, 1)            # (N, W0, P)
     patch_l = jnp.einsum("npw,nwq->npq", rows_l, oh_l,
                          precision=jax.lax.Precision.HIGHEST)          # (N, P, P)
     dx_win = jnp.arange(-W_PATCH - L_SHIFT, W_PATCH + L_SHIFT + 1, dtype=jnp.int32)
     col_r = ur0[:, None] + dx_win[None, :]                             # (N, WIN)
-    oh_r = (w_range[None, :, None] == col_r[:, None, :]).astype(rows.dtype)
+    oh_r = arithmetic_one_hot(col_r, W0).transpose(0, 2, 1)            # (N, W0, WIN)
     win_r = jnp.einsum("npw,nwq->npq", rows_r, oh_r,
                        precision=jax.lax.Precision.HIGHEST)            # (N, P, WIN)
     patch_l = patch_l - patch_l[:, W_PATCH, W_PATCH][:, None, None]
@@ -146,19 +197,22 @@ def match_rectified(
 
     # Back to level-0 coords; disparity & depth gates (Frame.cc:986-1004).
     u_right = ur_ref * scale_factors[l_level]
-    disparity = l_uv[:, 0] - u_right
+    disparity = l_x - u_right
     disparity_ok = (disparity > 0.01) & (disparity < max_d)
-    u_right = jnp.where(disparity <= 0.01, l_uv[:, 0] - 0.01, u_right)
+    u_right = jnp.where(disparity <= 0.01, l_x - 0.01, u_right)
     disparity = jnp.maximum(disparity, 0.01)
     depth = bf / disparity
 
     good = matched & ok_ref & disparity_ok
 
     # Median-distance cull (Frame.cc:1040-1063): drop matches whose refine
-    # SAD exceeds 1.5 * 1.4 * median.
-    sad_valid = jnp.where(good, sad_best, jnp.nan)
-    med = jnp.nanmedian(sad_valid)
-    med = jnp.where(jnp.isnan(med), jnp.inf, med)
+    # SAD exceeds 1.5 * 1.4 * median. Masked median via one sort; the mask
+    # enters as an additive penalty, keeping the sort input pure-arithmetic.
+    sad_pen = sad_best + (1.0 - good.astype(jnp.float32)) * BIG
+    sad_sorted = jnp.sort(sad_pen)
+    n_good = jnp.sum(good.astype(jnp.int32))
+    med = sad_sorted[jnp.clip((n_good - 1) // 2, 0, n - 1)]
+    med = jnp.where(n_good > 0, med, BIG)
     good = good & (sad_best <= 1.5 * 1.4 * med)
 
     return StereoMatches(
@@ -183,14 +237,12 @@ def match_fisheye(
     """Brute-force all-pairs Hamming + Lowe ratio
     (fisheyeStereoMatchKernel, StereoMatchKernel.cu:311-348). Geometry
     validation happens afterwards via cameras.triangulate_matches."""
-    d = hamming_matrix(l_desc, r_desc)
-    mask = l_valid[:, None] & r_valid[None, :]
-    dm = jnp.where(mask, d, BIG)
-    best_idx = jnp.argmin(dm, axis=1).astype(jnp.int32)
-    best = jnp.take_along_axis(dm, best_idx[:, None], axis=1)[:, 0]
-    dm2 = dm.at[jnp.arange(dm.shape[0]), best_idx].set(BIG)
-    second = jnp.min(dm2, axis=1)
-    ok = (best <= max_dist) & (
-        best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
-    )
+    d = hamming_matrix_f32(l_desc, r_desc)
+    dm = d + valid_penalty(l_valid)[:, None] + valid_penalty(r_valid)[None, :]
+    # top-2 gives best AND second-best in one pass (no full-width knockout)
+    neg2, ni2 = jax.lax.top_k(-dm, 2)
+    best_idx = ni2[:, 0].astype(jnp.int32)
+    best = -neg2[:, 0]
+    second = -neg2[:, 1]
+    ok = (best <= max_dist) & (best < ratio * second)
     return FisheyeMatches(best_idx, ok)

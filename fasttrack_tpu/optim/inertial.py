@@ -98,7 +98,7 @@ def inertial_residual(
     dV = pre.dV + _mv(pre.JVg, dbg) + _mv(pre.JVa, dba)
     dP = pre.dP + _mv(pre.JPg, dbg) + _mv(pre.JPa, dba)
     dt = pre.dT
-    g = GRAVITY.astype(s1.p_w.dtype)
+    g = jnp.asarray(GRAVITY, dtype=s1.p_w.dtype)
     R1T = jnp.swapaxes(s1.R_wb, -1, -2)
     er = so3_log(_mm(jnp.swapaxes(dR, -1, -2), _mm(R1T, s2.R_wb)))
     ev = _mv(R1T, s2.v_w - s1.v_w - g * dt) - dV

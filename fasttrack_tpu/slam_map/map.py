@@ -16,11 +16,69 @@ from fasttrack_tpu.slam_map.keyframe import KeyFrame
 from fasttrack_tpu.slam_map.mappoint import MapPoint
 
 
+class PointStore:
+    """Packed per-point arrays for one Map — the canonical storage of every
+    numeric MapPoint field (see mappoint.py docstring). Rows are assigned on
+    add_mappoint, freed on erase, reused from a free list; `alive` marks
+    valid rows. The tracker's frustum and gather passes slice these arrays
+    directly — one NumPy pass instead of a Python loop over objects
+    (the reference's per-frame OpenMP packing, SearchLocalPointsKernel.cu:368)."""
+
+    def __init__(self, cap: int = 4096):
+        self._alloc(cap)
+        self.n_rows = 0
+        self.free: list[int] = []
+
+    def _alloc(self, cap: int):
+        self.cap = cap
+        self.pos = np.zeros((cap, 3), np.float64)
+        self.normal = np.zeros((cap, 3), np.float64)
+        self.desc_signed = np.zeros((cap, 256), np.int8)
+        self.desc_packed = np.zeros((cap, 32), np.uint8)
+        self.has_desc = np.zeros(cap, bool)
+        self.min_dist = np.zeros(cap, np.float64)
+        self.max_dist = np.full(cap, np.inf, np.float64)
+        self.n_visible = np.ones(cap, np.int32)
+        self.n_found = np.ones(cap, np.int32)
+        self.alive = np.zeros(cap, bool)
+        self.mids = np.full(cap, -1, np.int64)
+
+    _FIELDS = ("pos", "normal", "desc_signed", "desc_packed", "has_desc",
+               "min_dist", "max_dist", "n_visible", "n_found", "alive", "mids")
+
+    def _grow(self):
+        old = {f: getattr(self, f) for f in self._FIELDS}
+        n = self.cap
+        self._alloc(2 * n)
+        for f in self._FIELDS:
+            getattr(self, f)[:n] = old[f]
+
+    def take_row(self) -> int:
+        if self.free:
+            return self.free.pop()
+        if self.n_rows >= self.cap:
+            self._grow()
+        r = self.n_rows
+        self.n_rows += 1
+        return r
+
+    def release_row(self, row: int):
+        if 0 <= row < self.cap:
+            self.alive[row] = False
+            self.mids[row] = -1
+            self.has_desc[row] = False
+            self.n_visible[row] = 1
+            self.n_found[row] = 1
+            self.free.append(row)
+
+
 class Map:
     def __init__(self, map_id: int):
         self.map_id = map_id
         self.keyframes: dict[int, KeyFrame] = {}
         self.mappoints: dict[int, MapPoint] = {}
+        self.store = PointStore()
+        self._mid2row = np.full(4096, -1, np.int32)  # global mid -> store row
         self.reference_mappoint_ids: list[int] = []
         self.change_index = 0
         self.init_kf_id = 0
@@ -38,11 +96,50 @@ class Map:
 
     def add_mappoint(self, mp: MapPoint):
         self.mappoints[mp.mid] = mp
+        if mp.row < 0:
+            mp._bind(self.store, self.store.take_row())
+        while mp.mid >= len(self._mid2row):
+            self._mid2row = np.concatenate(
+                [self._mid2row, np.full(len(self._mid2row), -1, np.int32)]
+            )
+        self._mid2row[mp.mid] = mp.row
+
+    def rows_for(self, mids: np.ndarray) -> np.ndarray:
+        """Vectorized mid -> packed-store row (-1 = absent/bad)."""
+        mids = np.asarray(mids, np.int64)
+        rows = np.full(len(mids), -1, np.int32)
+        in_range = (mids >= 0) & (mids < len(self._mid2row))
+        rows[in_range] = self._mid2row[mids[in_range]]
+        ok = rows >= 0
+        ok[ok] &= self.store.alive[rows[ok]]
+        rows[~ok] = -1
+        return rows
+
+    def release_mappoint(self, mid: int):
+        """Detach a point from this map WITHOUT marking it bad — used when a
+        point migrates to another map during an Atlas merge
+        (LoopClosing::MergeLocal moves points between maps)."""
+        mp = self.mappoints.pop(mid, None)
+        if mp is None:
+            return None
+        row = mp.row
+        mp._unbind()
+        if row >= 0:
+            self.store.release_row(row)
+        if 0 <= mid < len(self._mid2row):
+            self._mid2row[mid] = -1
+        return mp
 
     def erase_mappoint(self, mid: int):
         mp = self.mappoints.pop(mid, None)
         if mp is None:
             return
+        row = mp.row
+        mp._unbind()
+        if row >= 0:
+            self.store.release_row(row)
+        if 0 <= mid < len(self._mid2row):
+            self._mid2row[mid] = -1
         mp.bad = True
         for kf_id, idx in list(mp.observations.items()):
             kf = self.keyframes.get(kf_id)
@@ -76,6 +173,13 @@ class Map:
         old.bad = True
         old.replaced_by = new_mid
         self.mappoints.pop(old_mid, None)
+        row = old.row
+        old._unbind()
+        old.bad = True  # _unbind copies state; keep the tombstone flag
+        if row >= 0:
+            self.store.release_row(row)
+        if 0 <= old_mid < len(self._mid2row):
+            self._mid2row[old_mid] = -1
 
     def refresh_mappoint(self, mp: MapPoint, scale_factor: float, n_levels: int):
         """ComputeDistinctiveDescriptors + UpdateNormalAndDepth after the

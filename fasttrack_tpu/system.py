@@ -28,6 +28,30 @@ from fasttrack_tpu.stats import Stats
 from fasttrack_tpu.tracking import Tracker, TrackingState
 
 
+def _pre_to_dict(p):
+    """Host preintegration snapshot -> plain dict (pickle-stable)."""
+    if p is None:
+        return None
+    return {
+        "dT": p.dT, "dR": p.dR, "dV": p.dV, "dP": p.dP,
+        "JRg": p.JRg, "JVg": p.JVg, "JVa": p.JVa, "JPg": p.JPg, "JPa": p.JPa,
+        "C": p.C, "bg": p.b0.bg, "ba": p.b0.ba,
+    }
+
+
+def _pre_from_dict(d):
+    if d is None:
+        return None
+    import types
+
+    return types.SimpleNamespace(
+        dT=d["dT"], dR=d["dR"], dV=d["dV"], dP=d["dP"],
+        JRg=d["JRg"], JVg=d["JVg"], JVa=d["JVa"], JPg=d["JPg"], JPa=d["JPa"],
+        C=d["C"],
+        b0=types.SimpleNamespace(bg=d["bg"], ba=d["ba"]),
+    )
+
+
 class Sensor(enum.Enum):
     MONOCULAR = 0
     STEREO = 1
@@ -62,8 +86,15 @@ class System:
             ini_threshold=settings.ini_th_fast,
             min_threshold=settings.min_th_fast,
         )
+        # Place recognition is ON by default: the reference always loads
+        # ORBvoc.txt (System.cc:130-146). vocabulary=None loads the shipped
+        # artifact; vocabulary=False disables loop closing + relocalization.
+        if vocabulary is None:
+            from fasttrack_tpu.bow.vocabulary import load_default_vocabulary
+
+            vocabulary = load_default_vocabulary()
         self.loop_closer = None
-        if vocabulary is not None:
+        if vocabulary is not None and vocabulary is not False:
             from fasttrack_tpu.loop_closing import LoopCloser
 
             K = np.asarray(settings.camera1.K())
@@ -74,6 +105,9 @@ class System:
                                      Sensor.IMU_STEREO, Sensor.IMU_RGBD,
                                      Sensor.IMU_MONOCULAR),
                 run_async=async_mapping,
+                camera=settings.camera1,
+                bf=settings.bf or 1.0,
+                n_levels=settings.n_levels,
             )
         # Inertial calibration (IMU::Calib, ImuTypes.h:46-126) from settings.
         self.imu_calib = None
@@ -116,6 +150,7 @@ class System:
         if self.loop_closer is not None:
             self.tracker.reloc_db = self.loop_closer.db
             self.tracker.vocabulary = vocabulary
+            self.loop_closer.tracker = self.tracker
         if settings.load_atlas:
             self.load_atlas(settings.load_atlas)
 
@@ -153,7 +188,11 @@ class System:
         return self.tracker.state
 
     def shutdown(self):
+        """System::Shutdown (System.cc:520-560): stop the worker threads,
+        then persist the atlas if configured."""
         self.local_mapper.stop()
+        if self.loop_closer is not None:
+            self.loop_closer.stop()
         if self.settings.save_atlas:
             self.save_atlas(self.settings.save_atlas)
 
@@ -224,6 +263,8 @@ class System:
                 {
                     "map_id": m.map_id,
                     "init_kf_id": m.init_kf_id,
+                    "imu_initialized": m.imu_initialized,
+                    "is_inertial": m.is_inertial,
                     "keyframes": {
                         k.kid: {
                             "frame_id": k.frame_id,
@@ -238,6 +279,16 @@ class System:
                             "covisible": k.covisible,
                             "parent_id": k.parent_id,
                             "children": k.children,
+                            # inertial chain + place-recognition state
+                            # (System.cc:1424-1560 serializes these too)
+                            "velocity": k.velocity,
+                            "imu_bias": k.imu_bias,
+                            "prev_kf_id": k.prev_kf_id,
+                            "next_kf_id": k.next_kf_id,
+                            "preintegrated": _pre_to_dict(k.preintegrated),
+                            "bow_vec": k.bow_vec,
+                            "loop_edges": k.loop_edges,
+                            "merge_edges": k.merge_edges,
                         }
                         for k in m.keyframes.values()
                     },
@@ -271,6 +322,8 @@ class System:
         for md in state["maps"]:
             m = Map(md["map_id"])
             m.init_kf_id = md["init_kf_id"]
+            m.imu_initialized = md.get("imu_initialized", False)
+            m.is_inertial = md.get("is_inertial", False)
             for kid, kd in md["keyframes"].items():
                 kf = KeyFrame(
                     kid, kd["frame_id"], kd["timestamp"], kd["R_cw"], kd["t_cw"],
@@ -282,7 +335,17 @@ class System:
                 kf.covisible = kd["covisible"]
                 kf.parent_id = kd["parent_id"]
                 kf.children = kd["children"]
+                kf.velocity = kd.get("velocity")
+                kf.imu_bias = kd.get("imu_bias")
+                kf.prev_kf_id = kd.get("prev_kf_id")
+                kf.next_kf_id = kd.get("next_kf_id")
+                kf.preintegrated = _pre_from_dict(kd.get("preintegrated"))
+                kf.bow_vec = kd.get("bow_vec")
+                kf.loop_edges = kd.get("loop_edges", set())
+                kf.merge_edges = kd.get("merge_edges", set())
                 m.add_keyframe(kf)
+                if self.loop_closer is not None and kf.bow_vec is not None:
+                    self.loop_closer.db.add(kf.kid, kf.bow_vec)
             for mid, pd in md["mappoints"].items():
                 mp = MapPoint(mid, pd["position"], pd["ref_kf_id"], pd["first_kf_id"])
                 mp.normal = pd["normal"]
@@ -298,3 +361,19 @@ class System:
             if self.atlas.current.keyframes:
                 self.tracker.ref_kf_id = max(self.atlas.current.keyframes)
                 self.tracker.state = TrackingState.RECENTLY_LOST
+                # Inertial resume: restore the tracker's IMU anchor so a
+                # loaded inertial map does not forget its initialization.
+                last = self.atlas.current.keyframes[self.tracker.ref_kf_id]
+                if (
+                    self.imu_calib is not None
+                    and self.atlas.current.imu_initialized
+                    and last.velocity is not None
+                ):
+                    t = self.tracker
+                    if last.imu_bias is not None:
+                        t.bias = (np.asarray(last.imu_bias[0]),
+                                  np.asarray(last.imu_bias[1]))
+                    R_wb, p_w = t._body_from_cam(last.R_cw, last.t_cw)
+                    t.last_kf_state = (R_wb, p_w, np.asarray(last.velocity))
+                    t.v_w = np.asarray(last.velocity)
+                    t.last_kf_id = last.kid

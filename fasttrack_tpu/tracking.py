@@ -27,7 +27,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from fasttrack_tpu.cameras.models import Camera
-from fasttrack_tpu.frame_pipeline import process_stereo_frame
+from fasttrack_tpu.frame_pipeline import (
+    process_stereo_frame,
+    process_stereo_frame_stacked,
+)
 from fasttrack_tpu.geometry import SE3
 from fasttrack_tpu.kernels import KernelConfig
 from fasttrack_tpu.ops.extractor import OrbConfig
@@ -134,6 +137,10 @@ class Tracker:
             np.float32,
         )
         self._inv_sigma2 = 1.0 / (self._scale_factors**2)
+        # Device-resident scalar operands, staged once (each fresh jnp scalar
+        # is its own host->device transfer on the remote link).
+        self._bf_dev = jnp.float32(self.bf)
+        self._minz_dev = jnp.float32(self.baseline)
 
     # ------------------------------------------------------------------ utils
     def _snapshot(self, fd, timestamp) -> TrackedFrame:
@@ -298,12 +305,14 @@ class Tracker:
             # of the reference's toggle matrix (ORBextractor.cc:1374,
             # Frame.cc:156 CPU branches).
             return self._track_stereo_host(img_left, img_right, timestamp, t0)
-        fd = process_stereo_frame(
-            jnp.asarray(img_left, jnp.float32),
-            jnp.asarray(img_right, jnp.float32),
-            self.cfg,
-            jnp.float32(self.bf),
-            jnp.float32(self.baseline),
+        # ONE uint8 host->device transfer for both cameras (the link's
+        # per-transfer overhead dominates at image sizes; float32 would 4x
+        # the wire bytes — the cast happens on device inside extraction).
+        stacked = np.stack(
+            [np.asarray(img_left, np.uint8), np.asarray(img_right, np.uint8)]
+        )
+        fd = process_stereo_frame_stacked(
+            jnp.asarray(stacked), self.cfg, self._bf_dev, self._minz_dev,
         )
         return self._track_frame(fd, timestamp, t0)
 
@@ -469,12 +478,14 @@ class Tracker:
         lvl0_ref = ref.valid & (ref.kp_level == 0)
         lvl0_cur = frame.valid & (frame.kp_level == 0)
         res = search_by_projection(
-            jnp.asarray(ref.kp_uv), jnp.asarray(ref.desc_signed),
+            jnp.asarray(ref.kp_uv[:, 0]), jnp.asarray(ref.kp_uv[:, 1]),
+            jnp.asarray(ref.desc_signed),
             jnp.full(len(ref.kp_uv), 100.0),
             jnp.zeros(len(ref.kp_uv), jnp.int32),
             jnp.zeros(len(ref.kp_uv), jnp.int32),
             jnp.asarray(lvl0_ref),
-            jnp.asarray(frame.kp_uv), jnp.asarray(frame.desc_signed),
+            jnp.asarray(frame.kp_uv[:, 0]), jnp.asarray(frame.kp_uv[:, 1]),
+            jnp.asarray(frame.desc_signed),
             jnp.asarray(frame.kp_level.astype(np.int32)),
             jnp.asarray(lvl0_cur),
             ratio=0.9,
@@ -658,26 +669,26 @@ class Tracker:
 
     # ------------------------------------------- device matching sub-routines
     def _gather_map_points(self, mids: np.ndarray, m):
-        """Return (positions, signed descs, valid) padded arrays for ids."""
+        """Return (positions, signed descs, valid) padded arrays for ids —
+        one vectorized pass over the map's packed PointStore (no per-point
+        Python; the packed arrays ARE the map, slam_map.map.PointStore)."""
+        rows = m.rows_for(mids)
+        sel = rows >= 0
+        r = rows[sel]
         pos = np.zeros((len(mids), 3), np.float32)
         desc = np.zeros((len(mids), 256), np.int8)
         ok = np.zeros(len(mids), bool)
-        for j, mid in enumerate(mids):
-            mp = m.mappoints.get(int(mid))
-            if mp is None or mp.bad or mp.desc_signed is None:
-                continue
-            pos[j] = mp.position
-            desc[j] = mp.desc_signed
-            ok[j] = True
+        pos[sel] = m.store.pos[r]
+        desc[sel] = m.store.desc_signed[r]
+        ok[sel] = m.store.has_desc[r]
         return pos, desc, ok
 
     def _packed_for(self, mids: np.ndarray, m, okq: np.ndarray) -> np.ndarray:
         """Packed uint8 descriptors for map-point ids (host matcher input)."""
+        rows = m.rows_for(mids)
+        sel = (rows >= 0) & okq
         packed = np.zeros((len(mids), 32), np.uint8)
-        for j in np.where(okq)[0]:
-            mp = m.mappoints.get(int(mids[j]))
-            if mp is not None and mp.desc_packed is not None:
-                packed[j] = mp.desc_packed
+        packed[sel] = m.store.desc_packed[rows[sel]]
         return packed
 
     def _track_with_motion_model(self, frame: TrackedFrame) -> bool:
@@ -722,13 +733,15 @@ class Tracker:
         for widen in (1.0, 2.0):  # retry with doubled window (Tracking.cc:2964)
             if self.kcfg.pose_estimation:
                 idx, keep = twm_match(
-                    jnp.asarray(np.stack([u, v], -1)),
+                    jnp.asarray(u.astype(np.float32)),
+                    jnp.asarray(v.astype(np.float32)),
                     jnp.asarray(desc),
                     jnp.asarray(radius * widen),
                     jnp.asarray(lmin),
                     jnp.asarray(lmax),
                     jnp.asarray(okq),
-                    jnp.asarray(frame.kp_uv),
+                    jnp.asarray(frame.kp_uv[:, 0]),
+                    jnp.asarray(frame.kp_uv[:, 1]),
                     jnp.asarray(frame.desc_signed),
                     jnp.asarray(frame.kp_level.astype(np.int32)),
                     jnp.asarray(frame.valid),
@@ -798,11 +811,10 @@ class Tracker:
         N = len(frame.mp_ids)
         Xw = np.zeros((N, 3), np.float32)
         ok = np.zeros(N, bool)
-        for i in bound:
-            mp = m.mappoints.get(int(frame.mp_ids[i]))
-            if mp is not None and not mp.bad:
-                Xw[i] = mp.position
-                ok[i] = True
+        rows = m.rows_for(frame.mp_ids[bound])
+        live = rows >= 0
+        Xw[bound[live]] = m.store.pos[rows[live]]
+        ok[bound[live]] = True
         if self._imu_ready():
             return self._optimize_frame_pose_inertial(
                 frame, R0, t0, Xw, ok, min_inliers
@@ -944,25 +956,32 @@ class Tracker:
                 kf_counter[kf_id] = kf_counter.get(kf_id, 0) + 1
         if not kf_counter:
             return [], np.empty(0, np.int64)
-        local_kfs = set(kf_counter)
-        for kf_id in list(local_kfs)[:80]:
+        # Deterministic neighbor expansion: strongest observers first (the
+        # reference iterates mvpLocalKeyFrames in insertion order; a set walk
+        # here made neighbor selection nondeterministic).
+        seeds = sorted(kf_counter, key=lambda k: (-kf_counter[k], k))
+        local_kfs = list(seeds)
+        local_set = set(local_kfs)
+        for kf_id in seeds[:80]:
             kf = m.keyframes.get(kf_id)
             if kf is None:
                 continue
             for nid in kf.best_covisible(10):
-                local_kfs.add(nid)
+                if nid not in local_set:
+                    local_set.add(nid)
+                    local_kfs.append(nid)
             if len(local_kfs) > 80:
                 break
-        self.ref_kf_id = max(kf_counter, key=lambda k: kf_counter[k])
-        mp_ids = set()
-        for kf_id in local_kfs:
-            kf = m.keyframes.get(kf_id)
-            if kf is None:
-                continue
-            for mid in kf.mp_ids:
-                if mid >= 0:
-                    mp_ids.add(int(mid))
-        return list(local_kfs), np.fromiter(mp_ids, np.int64)
+        self.ref_kf_id = seeds[0]
+        mp_arrays = [
+            m.keyframes[kf_id].mp_ids for kf_id in local_kfs
+            if kf_id in m.keyframes
+        ]
+        if not mp_arrays:
+            return local_kfs, np.empty(0, np.int64)
+        allm = np.concatenate(mp_arrays)
+        mp_ids = np.unique(allm[allm >= 0])
+        return local_kfs, mp_ids
 
     def _track_local_map(self, frame: TrackedFrame) -> bool:
         m = self.atlas.current
@@ -971,77 +990,85 @@ class Tracker:
             return False
 
         # Host frustum cull (Frame::isInFrustum — the reference also does
-        # this on host, Tracking.cc:3472).
+        # this on host, Tracking.cc:3472) as ONE vectorized pass over the
+        # map's packed PointStore; camera-model-aware projection via
+        # cameras.host (works for pinhole and KB8 fisheye).
+        from fasttrack_tpu.cameras.host import (
+            frustum_depth_ok, in_image_np, project_np,
+        )
+
         P_CAP = 4096
+        rows_all = m.rows_for(mp_ids)
+        sel = rows_all >= 0
+        already = frame.mp_ids[frame.mp_ids >= 0]
+        if len(already):
+            sel &= ~np.isin(mp_ids, already)
+        n_over = int(sel.sum()) - P_CAP
+        if n_over > 0:
+            self.stats.record_count("tlm_overflow_points", n_over)
+            drop = np.where(sel)[0][P_CAP:]
+            sel[drop] = False
+        rows = rows_all[sel]
+        mids_sel = mp_ids[sel]
+        st = m.store
+        sel_desc = st.has_desc[rows]
+        rows = rows[sel_desc]
+        mids_sel = mids_sel[sel_desc]
+        j = len(rows)
+        if j == 0:
+            return self.n_inliers >= 30
+
+        R_wc, t_wc = frame.pose_wc()
+        pos_j = st.pos[rows]
+        Xc = (pos_j - t_wc) @ R_wc
+        uv = project_np(self.camera, Xc)
+        dist = np.linalg.norm(Xc, axis=1)
+        view = (pos_j - t_wc) / np.maximum(dist, 1e-9)[:, None]
+        in_frustum = (
+            frustum_depth_ok(self.camera, Xc)
+            & in_image_np(self.camera, uv)
+            & (dist >= 0.8 * st.min_dist[rows])
+            & (dist <= 1.2 * st.max_dist[rows])
+            & (np.sum(st.normal[rows] * view, axis=1) >= 0.5)
+        )
+        # visibility bookkeeping (MapPoint::IncreaseVisible)
+        st.n_visible[rows[in_frustum]] += 1
+
+        # predicted pyramid level (MapPoint::PredictScale), vectorized
+        ratio = st.max_dist[rows] / np.maximum(dist, 1e-9)
+        lv = np.ceil(
+            np.log(np.maximum(ratio, 1e-9)) / np.log(self.cfg.scale_factor)
+        )
+        lv = np.clip(lv, 0, self.cfg.n_levels - 1).astype(np.int32)
+
+        # pack into fixed-capacity arrays for the device matcher
         pos = np.zeros((P_CAP, 3), np.float32)
         desc = np.zeros((P_CAP, 256), np.int8)
         okq = np.zeros(P_CAP, bool)
         levels = np.zeros(P_CAP, np.int32)
         mids_arr = np.full(P_CAP, -1, np.int64)
-        already = set(int(x) for x in frame.mp_ids[frame.mp_ids >= 0])
-        j = 0
-        R_wc, t_wc = frame.pose_wc()
-        for mid in mp_ids:
-            if j >= P_CAP:
-                break
-            mp = m.mappoints.get(int(mid))
-            if mp is None or mp.bad or mp.desc_signed is None:
-                continue
-            mp.n_visible += 0  # placeholder; updated below when in frustum
-            if int(mid) in already:
-                continue
-            pos[j] = mp.position
-            desc[j] = mp.desc_signed
-            mids_arr[j] = mid
-            okq[j] = True
-            j += 1
-        if j == 0:
-            return self.n_inliers >= 30
-
-        p = np.asarray(self.camera.params)
-        Xc = (pos - t_wc.astype(np.float32)) @ R_wc.astype(np.float32)
-        z = Xc[:, 2]
-        safe_z = np.maximum(z, 1e-6)
-        u = p[0] * Xc[:, 0] / safe_z + p[2]
-        v = p[1] * Xc[:, 1] / safe_z + p[3]
-        dist = np.linalg.norm(Xc, axis=1)
-        in_frustum = (
-            okq & (z > 0.1)
-            & (u >= 0) & (u < self.camera.width)
-            & (v >= 0) & (v < self.camera.height)
-        )
-        # scale band + viewing angle checks
-        for jj in np.where(in_frustum)[0]:
-            mp = m.mappoints.get(int(mids_arr[jj]))
-            if mp is None:
-                in_frustum[jj] = False
-                continue
-            if not (0.8 * mp.min_distance <= dist[jj] <= 1.2 * mp.max_distance):
-                in_frustum[jj] = False
-                continue
-            pn = mp.normal
-            view = (pos[jj] - t_wc) / max(dist[jj], 1e-9)
-            if pn @ view < 0.5:
-                in_frustum[jj] = False
-                continue
-            mp.n_visible += 1
-            mp.last_frame_seen = frame.frame_id
-            levels[jj] = mp.predict_scale(
-                float(dist[jj]), self.cfg.scale_factor, self.cfg.n_levels
-            )
-
-        okq &= in_frustum
+        pos[:j] = pos_j
+        desc[:j] = st.desc_signed[rows]
+        okq[:j] = in_frustum
+        levels[:j] = lv
+        mids_arr[:j] = mids_sel
+        u = np.zeros(P_CAP, np.float64)
+        v = np.zeros(P_CAP, np.float64)
+        u[:j] = uv[:, 0]
+        v[:j] = uv[:, 1]
         radius = 4.0 * self._scale_factors[levels]  # th=1? reference r=th*radius(viewCos)
         taken = frame.mp_ids >= 0
         if self.kcfg.search_local_points:
             idx, keep = tlm_match(
-                jnp.asarray(np.stack([u, v], -1)),
+                jnp.asarray(u.astype(np.float32)),
+                jnp.asarray(v.astype(np.float32)),
                 jnp.asarray(desc),
                 jnp.asarray(radius.astype(np.float32)),
                 jnp.asarray(np.maximum(levels - 1, 0)),
                 jnp.asarray(levels),
                 jnp.asarray(okq),
-                jnp.asarray(frame.kp_uv),
+                jnp.asarray(frame.kp_uv[:, 0]),
+                jnp.asarray(frame.kp_uv[:, 1]),
                 jnp.asarray(frame.desc_signed),
                 jnp.asarray(frame.kp_level.astype(np.int32)),
                 jnp.asarray(frame.valid),
@@ -1076,12 +1103,12 @@ class Tracker:
         return self.n_inliers >= 20
 
     def _update_found_counters(self, frame: TrackedFrame):
+        """MapPoint::IncreaseFound for every tracked point — one vectorized
+        pass over the packed store."""
         m = self.atlas.current
-        for mid in frame.mp_ids:
-            if mid >= 0:
-                mp = m.mappoints.get(int(mid))
-                if mp is not None:
-                    mp.n_found += 1
+        bound = frame.mp_ids[frame.mp_ids >= 0]
+        rows = m.rows_for(bound)
+        m.store.n_found[rows[rows >= 0]] += 1
 
     # ------------------------------------------------------------ keyframes
     def _need_new_keyframe(self, frame: TrackedFrame) -> bool:

@@ -30,9 +30,9 @@ class TestSearchByProjection:
         sel = np.arange(0, 128, 3)
         q_uv = kp_uv[sel] + jnp.asarray(rng.uniform(-2, 2, size=(len(sel), 2)).astype(np.float32))
         res = search_by_projection(
-            q_uv, kp_desc[sel], jnp.full(len(sel), 4.0),
+            q_uv[:, 0], q_uv[:, 1], kp_desc[sel], jnp.full(len(sel), 4.0),
             kp_level[sel], kp_level[sel], jnp.ones(len(sel), bool),
-            kp_uv, kp_desc, kp_level, kp_valid,
+            kp_uv[:, 0], kp_uv[:, 1], kp_desc, kp_level, kp_valid,
         )
         assert bool(res.ok.all())
         np.testing.assert_array_equal(np.asarray(res.idx), sel)
@@ -42,9 +42,9 @@ class TestSearchByProjection:
         kp_uv, kp_desc, kp_level, kp_valid = self.make_frame(rng)
         q_uv = kp_uv[:8] + 50.0  # displaced beyond the radius
         res = search_by_projection(
-            q_uv, kp_desc[:8], jnp.full(8, 4.0),
+            q_uv[:, 0], q_uv[:, 1], kp_desc[:8], jnp.full(8, 4.0),
             jnp.zeros(8, jnp.int32), jnp.full(8, 10, jnp.int32), jnp.ones(8, bool),
-            kp_uv, kp_desc, kp_level, kp_valid,
+            kp_uv[:, 0], kp_uv[:, 1], kp_desc, kp_level, kp_valid,
         )
         assert not bool(res.ok.any())
 
@@ -53,9 +53,9 @@ class TestSearchByProjection:
         sel = np.where(np.asarray(kp_level) == 2)[0][:8]
         lo = jnp.full(len(sel), 3, jnp.int32)  # excludes level 2
         res = search_by_projection(
-            kp_uv[sel], kp_desc[sel], jnp.full(len(sel), 4.0),
+            kp_uv[sel, 0], kp_uv[sel, 1], kp_desc[sel], jnp.full(len(sel), 4.0),
             lo, jnp.full(len(sel), 4, jnp.int32), jnp.ones(len(sel), bool),
-            kp_uv, kp_desc, kp_level, kp_valid,
+            kp_uv[:, 0], kp_uv[:, 1], kp_desc, kp_level, kp_valid,
         )
         # the exact-duplicate kp is excluded by level; any other kp within
         # radius 4 with a random descriptor will rarely pass TH_HIGH
@@ -65,9 +65,9 @@ class TestSearchByProjection:
         kp_uv, kp_desc, kp_level, kp_valid = self.make_frame(rng)
         taken = jnp.zeros(128, bool).at[5].set(True)
         res = search_by_projection(
-            kp_uv[5:6], kp_desc[5:6], jnp.full(1, 4.0),
+            kp_uv[5:6, 0], kp_uv[5:6, 1], kp_desc[5:6], jnp.full(1, 4.0),
             kp_level[5:6], kp_level[5:6], jnp.ones(1, bool),
-            kp_uv, kp_desc, kp_level, kp_valid, kp_taken=taken,
+            kp_uv[:, 0], kp_uv[:, 1], kp_desc, kp_level, kp_valid, kp_taken=taken,
         )
         assert not bool(res.ok[0])
 
@@ -83,9 +83,9 @@ class TestSearchByProjection:
         kp_desc = signed_descriptors(jnp.asarray(np.concatenate([k1, k2, far])))
         kp_level = jnp.zeros(4, jnp.int32)
         res = search_by_projection(
-            kp_uv[:1], desc[:1], jnp.full(1, 8.0),
+            kp_uv[:1, 0], kp_uv[:1, 1], desc[:1], jnp.full(1, 8.0),
             jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), jnp.ones(1, bool),
-            kp_uv, kp_desc, kp_level, jnp.ones(4, bool), ratio=0.8,
+            kp_uv[:, 0], kp_uv[:, 1], kp_desc, kp_level, jnp.ones(4, bool), ratio=0.8,
         )
         assert not bool(res.ok[0])
 
@@ -93,9 +93,9 @@ class TestSearchByProjection:
         n = 64
         kp_uv, kp_desc, kp_level, kp_valid = self.make_frame(rng, n)
         res = search_by_projection(
-            kp_uv, kp_desc, jnp.full(n, 4.0),
+            kp_uv[:, 0], kp_uv[:, 1], kp_desc, jnp.full(n, 4.0),
             kp_level, kp_level, jnp.ones(n, bool),
-            kp_uv, kp_desc, kp_level, kp_valid,
+            kp_uv[:, 0], kp_uv[:, 1], kp_desc, kp_level, kp_valid,
         )
         kp_angle = jnp.asarray(rng.uniform(0, 2 * np.pi, size=n).astype(np.float32))
         q_angle = kp_angle + 0.3  # consistent rotation
@@ -125,8 +125,8 @@ class TestRectifiedStereo:
         scale_factors = jnp.asarray([cfg.scale_factor**l for l in range(4)])
         bf = jnp.asarray(100.0)
         res = match_rectified(
-            jnp.stack([kl.x, kl.y], -1), kl.level, kl.desc_signed, kl.valid,
-            jnp.stack([kr.x, kr.y], -1), kr.level, kr.desc_signed, kr.valid,
+            kl.x, kl.y, kl.level, kl.desc_signed, kl.valid,
+            kr.x, kr.y, kr.level, kr.desc_signed, kr.valid,
             pl.raw, pr.raw, kl.xl, kl.yl, scale_factors, bf, bf / 100.0,
         )
         valid = np.asarray(res.valid)
