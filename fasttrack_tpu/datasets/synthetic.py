@@ -58,7 +58,7 @@ class SyntheticSequence(NamedTuple):
     gt_R: np.ndarray       # (F, 3, 3) R_wc
 
 
-def _render(tex, scale_px, K, R_wc, t_wc, h, w, plane_z):
+def _render(tex, scale_px, K, R_wc, t_wc, h, w, plane_z, camera=None):
     """Render a two-depth scene from camera pose (R_wc, t_wc).
 
     Background plane at z=plane_z plus a foreground textured square at
@@ -68,9 +68,15 @@ def _render(tex, scale_px, K, R_wc, t_wc, h, w, plane_z):
     away and tracking collapses; the depth discontinuity restores full 6-DOF
     observability, like any real indoor scene."""
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
-    d = np.stack(
-        [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs)], -1
-    )
+    if camera is not None:
+        # arbitrary camera model (e.g. KB8 fisheye) via host unprojection
+        from fasttrack_tpu.cameras.host import unproject_np
+
+        d = unproject_np(camera, np.stack([xs, ys], -1))
+    else:
+        d = np.stack(
+            [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs)], -1
+        )
     dw = d @ R_wc.T  # world direction per pixel
     tden = np.where(np.abs(dw[..., 2]) < 1e-9, 1e-9, dw[..., 2])
 

@@ -191,6 +191,39 @@ def process_stereo_frame(
     return FrameData(kl, kr, sm.u_right, sm.depth, n_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def process_fisheye_frame_stacked(
+    images: jnp.ndarray,      # (2, H, W) stacked L/R fisheye images
+    config: OrbConfig,
+    rig,                      # cameras.stereo.StereoRig (KB8 pair, pytree)
+) -> FrameData:
+    """Fisheye stereo frame (Frame.cc fisheye ctor :1115-1203 +
+    ComputeStereoFishEyeMatches + KannalaBrandt8::TriangulateMatches):
+    brute-force Hamming + Lowe ratio across the two cameras, then
+    parallax/reprojection-gated triangulation gives matched left keypoints a
+    depth. u_right stays -1 (no rectified row geometry); depth drives
+    stereo-point creation exactly like the reference's mvDepth."""
+    from fasttrack_tpu.cameras.stereo import triangulate_matches
+    from fasttrack_tpu.ops.extractor import extract_orb_pair_stacked
+    from fasttrack_tpu.ops.stereo_match import match_fisheye
+
+    kl, kr, _, _ = extract_orb_pair_stacked(images, config)
+    fm = match_fisheye(kl.desc_signed, kl.valid, kr.desc_signed, kr.valid)
+    scale2 = jnp.asarray(
+        [config.scale_factor ** (2 * l) for l in range(config.n_levels)],
+        dtype=jnp.float32,
+    )
+    uv_l = jnp.stack([kl.x, kl.y], -1)
+    uv_r = jnp.stack([kr.x[fm.idx_right], kr.y[fm.idx_right]], -1)
+    z, _, tri_ok = triangulate_matches(
+        rig, uv_l, uv_r, scale2[kl.level], scale2[kr.level[fm.idx_right]]
+    )
+    good = fm.valid & tri_ok & kl.valid
+    depth = jnp.where(good, z, -1.0)
+    neg = jnp.full((kl.x.shape[0],), -1.0)
+    return FrameData(kl, kr, neg, depth, jnp.sum(kl.valid.astype(jnp.int32)))
+
+
 def process_stereo_frame_stacked(
     images: jnp.ndarray,      # (2, H, W) stacked L/R (uint8 ok)
     config: OrbConfig,

@@ -199,6 +199,12 @@ class LocalMapper:
         from fasttrack_tpu.slam_map import MapPoint
 
         m = self.atlas.current
+        if self.camera.kind != "pinhole":
+            # Epipolar F-matrix gating is pinhole geometry; fisheye rigs get
+            # their new points from triangulated stereo depth instead
+            # (process_fisheye_frame_stacked), like the reference's KB8 route
+            # which relies on TriangulateMatches depth (Frame.cc:1231-1306).
+            return 0
         p = np.asarray(self.camera.params)
         fx, fy, cx, cy = p[:4]
         Kmat = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])

@@ -24,6 +24,8 @@ class Settings:
     camera1: Camera = None
     camera2: Optional[Camera] = None
     camera_type: str = "PinHole"
+    dist1: Optional[np.ndarray] = None  # pinhole [k1 k2 p1 p2 (k3)]
+    dist2: Optional[np.ndarray] = None
     bf: float = 0.0
     baseline: float = 0.0
     T_c1_c2: Optional[np.ndarray] = None   # 4x4 Stereo.T_c1_c2
@@ -98,6 +100,21 @@ def load_settings(path: str) -> Settings:
 
     s.camera1 = make_cam("Camera1") or make_cam("Camera")
     s.camera2 = make_cam("Camera2")
+    if s.camera_type == "PinHole":
+        # pinhole distortion (plumb bob) -> stereo rectification at startup
+        def dist_of(prefix):
+            ks = [g(f"{prefix}.k1"), g(f"{prefix}.k2"),
+                  g(f"{prefix}.p1"), g(f"{prefix}.p2")]
+            if all(k is None for k in ks):
+                return None
+            d = [float(k or 0.0) for k in ks]
+            k3 = g(f"{prefix}.k3")
+            if k3 is not None:
+                d.append(float(k3))
+            return np.asarray(d)
+        d1 = dist_of("Camera1")
+        s.dist1 = d1 if d1 is not None else dist_of("Camera")
+        s.dist2 = dist_of("Camera2")
     if g("Stereo.T_c1_c2") is not None:
         s.T_c1_c2 = _mat(g("Stereo.T_c1_c2"))
     bf = g("Camera.bf", g("Stereo.b", None))

@@ -75,6 +75,31 @@ class System:
         self.kcfg = kernel_config or get_run_mode()
         self.stats = Stats()
         self.atlas = Atlas()
+
+        # Stereo rectification at startup (Settings::precomputeRectificationMaps,
+        # src/Settings.cc; applied per frame like System.cc:273-284): when the
+        # rig is distorted pinhole with a known extrinsic, precompute remap
+        # tables and run the whole pipeline in the rectified frame.
+        self._rect = None
+        if (
+            sensor in (Sensor.STEREO, Sensor.IMU_STEREO)
+            and settings.camera_type == "PinHole"
+            and settings.camera2 is not None
+            and settings.T_c1_c2 is not None
+            and settings.dist1 is not None
+            and (np.any(settings.dist1)
+                 or (settings.dist2 is not None and np.any(settings.dist2)))
+        ):
+            from fasttrack_tpu.cameras.rectify import compute_rectification
+
+            self._rect = compute_rectification(
+                settings.camera1, settings.dist1,
+                settings.camera2,
+                settings.dist2 if settings.dist2 is not None else np.zeros(4),
+                settings.T_c1_c2, settings.width, settings.height,
+            )
+            settings.camera1 = self._rect.camera
+            settings.bf = self._rect.bf
         self.atlas.add_camera(settings.camera1)
 
         orb = OrbConfig(
@@ -112,8 +137,6 @@ class System:
         # Inertial calibration (IMU::Calib, ImuTypes.h:46-126) from settings.
         self.imu_calib = None
         if sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO, Sensor.IMU_RGBD):
-            import jax.numpy as jnp
-
             from fasttrack_tpu.imu.preintegration import ImuCalib
 
             T_bc = getattr(settings, "T_b_c1", None)
@@ -130,6 +153,24 @@ class System:
                 freq=settings.imu_frequency,
             )
         monocular = sensor in (Sensor.MONOCULAR, Sensor.IMU_MONOCULAR)
+        # KB8 fisheye stereo rig (Frame.cc fisheye route needs the extrinsic)
+        stereo_rig = None
+        if (
+            settings.camera_type in ("KannalaBrandt8", "Fisheye")
+            and settings.camera2 is not None
+            and settings.T_c1_c2 is not None
+            and sensor in (Sensor.STEREO, Sensor.IMU_STEREO)
+        ):
+            from fasttrack_tpu.cameras.stereo import StereoRig
+            from fasttrack_tpu.geometry import SE3
+
+            T_c2_c1 = np.linalg.inv(np.asarray(settings.T_c1_c2, np.float64))
+            stereo_rig = StereoRig(
+                settings.camera1, settings.camera2,
+                SE3(jnp.asarray(T_c2_c1[:3, :3], jnp.float32),
+                    jnp.asarray(T_c2_c1[:3, 3], jnp.float32)),
+                jnp.asarray(settings.bf, jnp.float32),
+            )
         self.local_mapper = LocalMapper(
             self.atlas, settings.camera1, settings.bf,
             settings.scale_factor, settings.n_levels,
@@ -145,6 +186,7 @@ class System:
             th_depth_factor=settings.th_depth,
             monocular=monocular,
             imu_calib=self.imu_calib,
+            stereo_rig=stereo_rig,
         )
         self.local_mapper.tracker = self.tracker
         if self.loop_closer is not None:
@@ -160,6 +202,15 @@ class System:
             raise RuntimeError("track_stereo called on non-stereo sensor config")
         if imu:
             self.tracker_grab_imu(imu)
+        if self._rect is not None:
+            from fasttrack_tpu.cameras.rectify import remap_bilinear
+
+            img_left = remap_bilinear(
+                np.asarray(img_left), self._rect.map_lx, self._rect.map_ly
+            )
+            img_right = remap_bilinear(
+                np.asarray(img_right), self._rect.map_rx, self._rect.map_ry
+            )
         return self.tracker.track_stereo(img_left, img_right, timestamp)
 
     def track_rgbd(self, img, depth_map, timestamp: float, imu=None):

@@ -96,8 +96,10 @@ class Tracker:
         max_frames_between_kf: int = 20,
         monocular: bool = False,
         imu_calib=None,
+        stereo_rig=None,        # cameras.stereo.StereoRig for KB8 fisheye
     ):
         self.monocular = monocular
+        self.stereo_rig = stereo_rig
         # --- inertial front-end state (Tracking.cc IMU members) ----------
         self.imu_calib = imu_calib            # imu.preintegration.ImuCalib
         self.use_imu = imu_calib is not None
@@ -159,13 +161,12 @@ class Tracker:
         )
 
     def _unproject(self, frame: TrackedFrame, idx: np.ndarray) -> np.ndarray:
-        """Stereo keypoints -> world points (host, float64)."""
-        p = np.asarray(self.camera.params)
-        fx, fy, cx, cy = p[:4]
-        z = frame.depth[idx]
-        x = (frame.kp_uv[idx, 0] - cx) / fx * z
-        y = (frame.kp_uv[idx, 1] - cy) / fy * z
-        Xc = np.stack([x, y, z], -1)
+        """Stereo/depth keypoints -> world points (host, float64, any camera
+        model via cameras.host.unproject_np — KB8 fisheye included)."""
+        from fasttrack_tpu.cameras.host import unproject_np
+
+        rays = unproject_np(self.camera, frame.kp_uv[idx])  # z == 1
+        Xc = rays * frame.depth[idx][:, None]
         R_wc, t_wc = frame.pose_wc()
         return Xc @ R_wc.T + t_wc
 
@@ -300,6 +301,17 @@ class Tracker:
     # ------------------------------------------------------- main entry point
     def track_stereo(self, img_left, img_right, timestamp: float):
         t0 = time.perf_counter()
+        if self.stereo_rig is not None and self.camera.kind == "kb8":
+            # fisheye stereo path (Frame.cc:1115 fisheye ctor route)
+            from fasttrack_tpu.frame_pipeline import process_fisheye_frame_stacked
+
+            stacked = np.stack(
+                [np.asarray(img_left, np.uint8), np.asarray(img_right, np.uint8)]
+            )
+            fd = process_fisheye_frame_stacked(
+                jnp.asarray(stacked), self.cfg, self.stereo_rig
+            )
+            return self._track_frame(fd, timestamp, t0)
         if not (self.kcfg.orb_extraction and self.kcfg.stereo_match):
             # At least one front-end stage runs on host: the ablation modes
             # of the reference's toggle matrix (ORBextractor.cc:1374,
@@ -715,16 +727,15 @@ class Tracker:
         okq &= has_mp
 
         # Project with predicted pose (host: cheap; device does matching).
-        Xc = pos @ R_pred.T.astype(np.float32) + t_pred.astype(np.float32)
-        p = np.asarray(self.camera.params)
-        z = np.maximum(Xc[:, 2], 1e-6)
-        u = p[0] * Xc[:, 0] / z + p[2]
-        v = p[1] * Xc[:, 1] / z + p[3]
-        in_img = (
-            (Xc[:, 2] > 0) & (u >= 0) & (u < self.camera.width)
-            & (v >= 0) & (v < self.camera.height)
+        # Camera-model-aware (pinhole or KB8), cameras.host.
+        from fasttrack_tpu.cameras.host import (
+            frustum_depth_ok, in_image_np, project_np,
         )
-        okq &= in_img
+
+        Xc = pos @ R_pred.T.astype(np.float32) + t_pred.astype(np.float32)
+        uvp = project_np(self.camera, Xc)
+        u, v = uvp[:, 0], uvp[:, 1]
+        okq &= frustum_depth_ok(self.camera, Xc) & in_image_np(self.camera, uvp)
         th = 7.0  # stereo radius (ORBmatcher th=7 for stereo/RGBD)
         radius = th * self._scale_factors[last.kp_level]
         lvl = last.kp_level
@@ -925,10 +936,9 @@ class Tracker:
             idxf = np.asarray(res.idx_right)[keep]
             X = pos[keep]
             uv = frame.kp_uv[idxf]
-            rays = np.stack(
-                [(uv[:, 0] - p[2]) / p[0], (uv[:, 1] - p[3]) / p[1],
-                 np.ones(len(uv))], -1,
-            )
+            from fasttrack_tpu.cameras.host import unproject_np
+
+            rays = unproject_np(self.camera, uv)
             sig2 = (1.0 / self._inv_sigma2)[frame.kp_level[idxf]]
             pnp = ransac_pnp(X.astype(np.float64), rays, sig2, float(p[0]))
             if not pnp.success:
