@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from fasttrack_tpu.cameras.models import Camera, project
 from fasttrack_tpu.geometry import SE3, se3_apply, se3_compose, se3_exp
+from fasttrack_tpu.optim import ba_core
 from fasttrack_tpu.optim.robust import CHI2_MONO, CHI2_STEREO, huber_weight
 
 
@@ -55,24 +56,8 @@ class BAResult(NamedTuple):
 
 
 def _residuals(poses: SE3, points, cam: Camera, bf, obs_uv, obs_ur):
-    """(L, K, 3) residuals [du, dv, dur]."""
-    Xc = se3_apply(
-        SE3(poses.R[None, :], poses.t[None, :]), points[:, None, :]
-    )  # (L, K, 3)
-    uv = project(cam, Xc)
-    z = jnp.maximum(Xc[..., 2], 1e-6)
-    ur = uv[..., 0] - bf / z
-    is_stereo = obs_ur >= 0
-    r = jnp.stack(
-        [
-            obs_uv[..., 0] - uv[..., 0],
-            obs_uv[..., 1] - uv[..., 1],
-            jnp.where(is_stereo, obs_ur - ur, 0.0),
-        ],
-        axis=-1,
-    )
-    behind = Xc[..., 2] <= 0.05
-    return r, behind
+    """(L, K, 3) residuals [du, dv, dur] (shared math: optim.ba_core)."""
+    return ba_core.residuals(poses, points, cam, bf, obs_uv, obs_ur)
 
 
 @functools.partial(jax.jit, static_argnames=("phase1_iters", "phase2_iters"))
@@ -88,33 +73,9 @@ def local_bundle_adjustment(
     delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
 
     def jacobians(poses, points):
-        """Per-observation J wrt (camera xi (6), point (3)) via autodiff."""
-
-        def res_one(xi, dX, R, t, X, uv, ur):
-            T = se3_compose(se3_exp(xi), SE3(R, t))
-            Xc = se3_apply(T, X + dX)
-            uvp = project(cam, Xc)
-            z = jnp.maximum(Xc[2], 1e-6)
-            urp = uvp[0] - bf / z
-            st = ur >= 0
-            return jnp.stack(
-                [uv[0] - uvp[0], uv[1] - uvp[1], jnp.where(st, ur - urp, 0.0)]
-            )
-
-        z6 = jnp.zeros(6, dtype=points.dtype)
-        z3 = jnp.zeros(3, dtype=points.dtype)
-
-        def pair(R, t, X, uv, ur):
-            Jc = jax.jacfwd(res_one, argnums=0)(z6, z3, R, t, X, uv, ur)
-            Jp = jax.jacfwd(res_one, argnums=1)(z6, z3, R, t, X, uv, ur)
-            return Jc, Jp
-
-        f = jax.vmap(  # over K
-            jax.vmap(pair, in_axes=(0, 0, None, 0, 0)),  # wait: order fixed below
-            in_axes=(None, None, 0, 0, 0),
+        return ba_core.jacobians(
+            poses, points, cam, bf, problem.obs_uv, problem.obs_ur
         )
-        Jc, Jp = f(poses.R, poses.t, points, problem.obs_uv, problem.obs_ur)
-        return Jc, Jp  # (L, K, 3, 6), (L, K, 3, 3)
 
     def weights(r, inlier, use_robust):
         chi2 = jnp.sum(r * r, axis=-1) * problem.inv_sigma2
@@ -139,49 +100,17 @@ def local_bundle_adjustment(
         Jc = jnp.where(jnp.isfinite(Jc), Jc, 0.0)
         Jp = jnp.where(jnp.isfinite(Jp), Jp, 0.0)
 
-        # Build blocks.
-        Hcc = jnp.einsum("lkri,lkrj,lk->kij", Jc, Jc, w)          # (K,6,6)
-        Hpp = jnp.einsum("lkri,lkrj,lk->lij", Jp, Jp, w)          # (L,3,3)
-        Hcp = jnp.einsum("lkri,lkrj,lk->lkij", Jc, Jp, w)         # (L,K,6,3)
-        bc = jnp.einsum("lkri,lkr,lk->ki", Jc, r, w)              # (K,6)
-        bp = jnp.einsum("lkri,lkr,lk->li", Jp, r, w)              # (L,3)
-
-        # Damping.
-        lamI6 = lam * jnp.eye(6, dtype=points.dtype)
-        lamI3 = lam * jnp.eye(3, dtype=points.dtype)
-        Hcc_d = Hcc + lamI6[None] + 1e-8 * jnp.eye(6)[None]
-        Hpp_d = Hpp + lamI3[None] + 1e-8 * jnp.eye(3)[None]
-
-        Hpp_inv = jnp.linalg.inv(Hpp_d)                            # (L,3,3)
-        # Reduced camera system S (K,K,6,6) and rhs.
-        W_ = jnp.einsum("lkij,ljm->lkim", Hcp, Hpp_inv)            # (L,K,6,3)
-        S_off = jnp.einsum("lkim,lqjm->kqij", W_, Hcp)             # (K,K,6,6)
-        S = -S_off
-        S = S.at[jnp.arange(K), jnp.arange(K)].add(Hcc_d)
-        rhs = bc - jnp.einsum("lkim,lm->ki", W_, bp)               # (K,6)
-
-        # Fixed cameras: identity rows/cols, zero rhs.
-        free = problem.cam_free
-        fmask = free[:, None] & free[None, :]
-        S = jnp.where(fmask[:, :, None, None], S, 0.0)
-        S = S.at[jnp.arange(K), jnp.arange(K)].set(
-            jnp.where(free[:, None, None], S[jnp.arange(K), jnp.arange(K)], jnp.eye(6)[None])
+        # Shared Schur machinery (optim.ba_core): single-device = the
+        # distributed solver with a no-op landmark reduction.
+        S_off, rhs, Hcc, Hpp_inv, Hcp, bp = ba_core.schur_camera_contrib(
+            Jc, Jp, r, w, lam, points.dtype
         )
-        rhs = jnp.where(free[:, None], rhs, 0.0)
-
-        Sd = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-        dxc = jnp.linalg.solve(Sd, -rhs.reshape(-1)).reshape(K, 6)
-
-        # Back-substitute points: Hpp dxp = -bp - Hcp^T dxc.
-        rhs_p = -bp - jnp.einsum("lkij,ki->lj", Hcp, dxc)
-        dxp = jnp.einsum("lij,lj->li", Hpp_inv, rhs_p)
-        dxp = jnp.where(problem.point_free[:, None], dxp, 0.0)
-
-        poses_new = SE3(
-            *jax.vmap(lambda xi, R, t: se3_compose(se3_exp(xi), SE3(R, t)))(
-                dxc, poses.R, poses.t
-            )
+        dxc = ba_core.assemble_and_solve(
+            S_off, rhs, Hcc, lam, problem.cam_free, points.dtype
         )
+        dxp = ba_core.backsub_points(Hpp_inv, Hcp, bp, dxc, problem.point_free)
+
+        poses_new = ba_core.apply_pose_update(poses, dxc)
         points_new = points + dxp
 
         # Accept/reject.

@@ -8,6 +8,7 @@ inside shard_map, and batches of frames extract in parallel across chips.
 
 from fasttrack_tpu.parallel.dist_ba import (  # noqa: F401
     distributed_ba_iteration,
+    distributed_bundle_adjustment,
     make_mesh,
     sharded_extract_batch,
 )

@@ -27,10 +27,10 @@ try:  # jax >= 0.6 moved shard_map around; prefer the public name
 except Exception:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from fasttrack_tpu.cameras.models import Camera, project
-from fasttrack_tpu.geometry import SE3, se3_apply, se3_compose, se3_exp
+from fasttrack_tpu.cameras.models import Camera
+from fasttrack_tpu.geometry import SE3
+from fasttrack_tpu.optim import ba_core
 from fasttrack_tpu.optim.local_ba import BAProblem
-from fasttrack_tpu.optim.robust import CHI2_MONO, CHI2_STEREO, huber_weight
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "map") -> Mesh:
@@ -46,99 +46,45 @@ def _ba_shard_step(
 ):
     """One damped GN iteration; runs on each device over its landmark shard.
 
-    All "l" (landmark) dims are per-shard; the (K,6,6)/(K,6) camera-system
-    contributions reduce with psum over the mesh axis.
-    """
-    K = poses_R.shape[0]
+    IDENTICAL math to the single-device window solver — both consume
+    optim.ba_core; the only distributed addition is the psum of the reduced
+    camera-system contributions over the mesh axis (ICI collective)."""
     poses = SE3(poses_R, poses_t)
-    is_stereo = obs_ur >= 0
-    delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    r, behind = ba_core.residuals(poses, points, cam, bf, obs_uv, obs_ur)
+    live = mask * (~behind) * jnp.isfinite(r).all(axis=-1)
+    r = jnp.where(live[..., None] > 0, r, 0.0)
+    _, w = ba_core.robust_weights(r, live, inv_sigma2, obs_ur, True)
+    Jc, Jp = ba_core.jacobians(poses, points, cam, bf, obs_uv, obs_ur)
+    Jc = jnp.where(live[..., None, None] > 0, Jc, 0.0)
+    Jp = jnp.where(live[..., None, None] > 0, Jp, 0.0)
+    Jc = jnp.where(jnp.isfinite(Jc), Jc, 0.0)
+    Jp = jnp.where(jnp.isfinite(Jp), Jp, 0.0)
 
-    # Residuals for the local shard.
-    Xc = se3_apply(SE3(poses.R[None], poses.t[None]), points[:, None, :])
-    uv = project(cam, Xc)
-    z = jnp.maximum(Xc[..., 2], 1e-6)
-    ur = uv[..., 0] - bf / z
-    r = jnp.stack(
-        [
-            obs_uv[..., 0] - uv[..., 0],
-            obs_uv[..., 1] - uv[..., 1],
-            jnp.where(is_stereo, obs_ur - ur, 0.0),
-        ],
-        axis=-1,
+    S_off, rhs, Hcc, Hpp_inv, Hcp, bp = ba_core.schur_camera_contrib(
+        Jc, Jp, r, w, lam, points.dtype
     )
-    behind = Xc[..., 2] <= 0.05
-    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
-    w = huber_weight(chi2, delta2) * inv_sigma2 * mask * (~behind)
-
-    # Jacobians via autodiff, vmapped over (l, k).
-    def res_one(xi, dX, R, t, X, uvo, uro):
-        T = se3_compose(se3_exp(xi), SE3(R, t))
-        Xc1 = se3_apply(T, X + dX)
-        uvp = project(cam, Xc1)
-        z1 = jnp.maximum(Xc1[2], 1e-6)
-        urp = uvp[0] - bf / z1
-        return jnp.stack(
-            [uvo[0] - uvp[0], uvo[1] - uvp[1], jnp.where(uro >= 0, uro - urp, 0.0)]
-        )
-
-    z6 = jnp.zeros(6, dtype=points.dtype)
-    z3 = jnp.zeros(3, dtype=points.dtype)
-
-    def pair(R, t, X, uvo, uro):
-        return (
-            jax.jacfwd(res_one, argnums=0)(z6, z3, R, t, X, uvo, uro),
-            jax.jacfwd(res_one, argnums=1)(z6, z3, R, t, X, uvo, uro),
-        )
-
-    f = jax.vmap(
-        jax.vmap(pair, in_axes=(0, 0, None, 0, 0)),
-        in_axes=(None, None, 0, 0, 0),
-    )
-    Jc, Jp = f(poses.R, poses.t, points, obs_uv, obs_ur)
-
-    Hcc = jnp.einsum("lkri,lkrj,lk->kij", Jc, Jc, w)
-    Hpp = jnp.einsum("lkri,lkrj,lk->lij", Jp, Jp, w)
-    Hcp = jnp.einsum("lkri,lkrj,lk->lkij", Jc, Jp, w)
-    bc = jnp.einsum("lkri,lkr,lk->ki", Jc, r, w)
-    bp = jnp.einsum("lkri,lkr,lk->li", Jp, r, w)
-
-    Hpp_inv = jnp.linalg.inv(Hpp + (lam + 1e-8) * jnp.eye(3, dtype=points.dtype)[None])
-    W_ = jnp.einsum("lkij,ljm->lkim", Hcp, Hpp_inv)
-    S_local = -jnp.einsum("lkim,lqjm->kqij", W_, Hcp)
-    rhs_local = bc - jnp.einsum("lkim,lm->ki", W_, bp)
-
     # ICI reduction: every device gets the full reduced camera system.
-    S = jax.lax.psum(S_local, axis)
-    rhs = jax.lax.psum(rhs_local, axis)
-    Hcc_tot = jax.lax.psum(Hcc, axis)
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(
-        Hcc_tot + (lam + 1e-8) * jnp.eye(6, dtype=points.dtype)[None]
-    )
+    S_off = jax.lax.psum(S_off, axis)
+    rhs = jax.lax.psum(rhs, axis)
+    Hcc = jax.lax.psum(Hcc, axis)
+    dxc = ba_core.assemble_and_solve(S_off, rhs, Hcc, lam, cam_free, points.dtype)
+    dxp = ba_core.backsub_points(Hpp_inv, Hcp, bp, dxc, point_free)
 
-    free = cam_free
-    fmask = free[:, None] & free[None, :]
-    S = jnp.where(fmask[:, :, None, None], S, 0.0)
-    S = S.at[jnp.arange(K), jnp.arange(K)].set(
-        jnp.where(
-            free[:, None, None],
-            S[jnp.arange(K), jnp.arange(K)],
-            jnp.eye(6, dtype=points.dtype)[None],
-        )
-    )
-    rhs = jnp.where(free[:, None], rhs, 0.0)
-
-    Sd = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-    dxc = jnp.linalg.solve(Sd, -rhs.reshape(-1)).reshape(K, 6)
-
-    rhs_p = -bp - jnp.einsum("lkij,ki->lj", Hcp, dxc)
-    dxp = jnp.einsum("lij,lj->li", Hpp_inv, rhs_p)
-    dxp = jnp.where(point_free[:, None], dxp, 0.0)
-
-    poses_new = jax.vmap(lambda xi, R, t: se3_compose(se3_exp(xi), SE3(R, t)))(
-        dxc, poses.R, poses.t
-    )
+    poses_new = ba_core.apply_pose_update(poses, dxc)
     return poses_new.R, poses_new.t, points + dxp
+
+
+def _ba_shard_cost(
+    cam: Camera, bf, axis: str,
+    poses_R, poses_t, points, obs_uv, obs_ur, inv_sigma2, mask,
+):
+    """Total robust chi2 over all shards (psum-reduced scalar)."""
+    poses = SE3(poses_R, poses_t)
+    r, behind = ba_core.residuals(poses, points, cam, bf, obs_uv, obs_ur)
+    live = mask * (~behind) * jnp.isfinite(r).all(axis=-1)
+    r = jnp.where(live[..., None] > 0, r, 0.0)
+    chi2, _ = ba_core.robust_weights(r, live, inv_sigma2, obs_ur, True)
+    return jax.lax.psum(jnp.sum(chi2), axis)
 
 
 @functools.lru_cache(maxsize=None)
@@ -185,6 +131,75 @@ def distributed_ba_iteration(
         problem.mask, problem.cam_free, problem.point_free,
     )
     return SE3(R, t), pts
+
+
+@functools.lru_cache(maxsize=None)
+def _build_cost_fn(mesh: Mesh, axis: str, cam_static: tuple):
+    kind, width, height = cam_static
+    shard = P(axis)
+    rep = P()
+
+    def fn(cam_params, bf, poses_R, poses_t, points, obs_uv, obs_ur,
+           inv_sigma2, mask):
+        cam = Camera(kind, cam_params, width, height)
+        return _ba_shard_cost(
+            cam, bf, axis, poses_R, poses_t, points, obs_uv, obs_ur,
+            inv_sigma2, mask,
+        )
+
+    mapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, shard, shard, shard, shard, shard),
+        out_specs=rep,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def distributed_bundle_adjustment(
+    problem: BAProblem, cam: Camera, bf, mesh: Mesh,
+    iters: int = 10, lam0: float = 1e-4, axis: str = "map",
+):
+    """Landmark-sharded LM to convergence: damped GN steps with host-side
+    accept/reject (the reference's g2o LM schedule, Optimizer.cc:1116; here
+    each iteration is one shard_map program + one psum'd cost program).
+
+    Returns (poses, points, costs) — costs per accepted state, monotone
+    non-increasing after the first entry."""
+    dt = problem.points.dtype
+    bfv = jnp.asarray(bf, dt)
+    cam_static = (cam.kind, cam.width, cam.height)
+    step = _build_ba_fn(mesh, axis, cam_static)
+    cost_fn = _build_cost_fn(mesh, axis, cam_static)
+
+    def cost(poses, points):
+        return float(cost_fn(
+            cam.params, bfv, poses.R, poses.t, points,
+            problem.obs_uv, problem.obs_ur, problem.inv_sigma2,
+            problem.mask.astype(dt),
+        ))
+
+    poses, points = problem.poses, problem.points
+    lam = lam0
+    c = cost(poses, points)
+    costs = [c]
+    for _ in range(iters):
+        R, t, pts = step(
+            cam.params, bfv, jnp.asarray(lam, dt),
+            poses.R, poses.t, points,
+            problem.obs_uv, problem.obs_ur, problem.inv_sigma2,
+            problem.mask.astype(dt), problem.cam_free, problem.point_free,
+        )
+        cand_poses, cand_points = SE3(R, t), pts
+        c_new = cost(cand_poses, cand_points)
+        if np.isfinite(c_new) and c_new < c:
+            poses, points, c = cand_poses, cand_points, c_new
+            lam = max(lam * 0.5, 1e-8)
+            costs.append(c)
+        else:
+            lam = lam * 4.0
+    return poses, points, costs
 
 
 def sharded_extract_batch(images: jnp.ndarray, config, mesh: Mesh, axis: str = "map"):

@@ -238,6 +238,14 @@ class System:
     def tracking_state(self) -> TrackingState:
         return self.tracker.state
 
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode: freeze the map; the tracker
+        localizes against it without inserting keyframes."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
+
     def shutdown(self):
         """System::Shutdown (System.cc:520-560): stop the worker threads,
         then persist the atlas if configured."""

@@ -132,6 +132,7 @@ class Tracker:
         self.n_inliers = 0
         self.lost_since: Optional[float] = None
         self.time_recently_lost = 5.0  # Tracking.cc:71
+        self.localization_only = False  # System::ActivateLocalizationMode
         self.trajectory: list = []     # (timestamp, R_cw, t_cw)
 
         self._scale_factors = np.asarray(
@@ -419,6 +420,19 @@ class Tracker:
 
     def _track_prepared(self, frame: TrackedFrame, t0: float):
         timestamp = frame.timestamp
+        # Timestamp-jump handling (Tracking.cc:1885-1912): a backwards jump
+        # resets the active map; a large forward gap starts a fresh map in
+        # the Atlas (the IMU integration across the gap is meaningless).
+        if self.last_frame is not None and self.state not in (
+            TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED
+        ):
+            dt = timestamp - self.last_frame.timestamp
+            if dt < 0:
+                self.stats.record_count("timestamp_jump_backwards", 1)
+                self._reset_active_map()
+            elif self.use_imu and dt > 3.0:
+                self.stats.record_count("timestamp_jump_forward", 1)
+                self._handle_lost()
         if self.use_imu:
             self._preintegrate_imu(timestamp)
 
@@ -646,7 +660,9 @@ class Tracker:
                     frame.R_cw @ t_wl + frame.t_cw,
                 )
                 self._update_found_counters(frame)
-                if self._need_new_keyframe(frame):
+                # Localization-only mode (System::ActivateLocalizationMode):
+                # track against the frozen map, never insert keyframes.
+                if not self.localization_only and self._need_new_keyframe(frame):
                     self._create_new_keyframe(frame)
             else:
                 if self.state == TrackingState.OK:
@@ -667,10 +683,31 @@ class Tracker:
                     frame.t_cw = self.last_frame.t_cw.copy()
             self.stats.record_count("track_ok", int(ok))
 
+    def _reset_active_map(self):
+        """Tracking::ResetActiveMap: wipe the current map and reinitialize
+        (used for backwards timestamp jumps and the bad-IMU reset)."""
+        m = self.atlas.current
+        m.keyframes.clear()
+        m.mappoints.clear()
+        m.imu_initialized = False
+        self.state = TrackingState.NOT_INITIALIZED
+        self.ref_kf_id = None
+        self.velocity = None
+        self.last_kf_state = None
+        self.pre_from_kf = None
+        self._init_reference = None
+
     def _handle_lost(self):
         """Tracking.cc:2071-2089: abandon small maps, else start a fresh map
-        in the Atlas (to be merged back by loop closing)."""
+        in the Atlas (to be merged back by loop closing). Bad-IMU guard
+        (Tracking.cc:1862-1867 / LocalMapping.cc:138-146): losing track
+        before the IMU initialized means the visual-inertial state is
+        untrustworthy — reset the active map instead of keeping it."""
         m = self.atlas.current
+        if self.use_imu and not m.imu_initialized:
+            self.stats.record_count("bad_imu_reset", 1)
+            self._reset_active_map()
+            return
         if m.n_keyframes() <= 10:
             m.keyframes.clear()
             m.mappoints.clear()

@@ -1,0 +1,177 @@
+"""Global BA after loop closure and Atlas map merge (LoopClosing.cc:2268
+RunGlobalBundleAdjustment, :1215 MergeLocal)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fasttrack_tpu.ba_assembly import global_bundle_adjustment
+from fasttrack_tpu.cameras import make_pinhole
+from fasttrack_tpu.loop_closing import LoopCloser
+from fasttrack_tpu.slam_map import Atlas, KeyFrame, MapPoint
+
+W, H = 640, 480
+FX = 400.0
+CAM = make_pinhole(FX, FX, W / 2, H / 2, W, H)
+
+
+def proj(X):
+    return np.stack(
+        [FX * X[:, 0] / X[:, 2] + W / 2, FX * X[:, 1] / X[:, 2] + H / 2], -1
+    )
+
+
+def build_map(atlas, rng, n_kf=8, n_pts=300, pose_noise=0.0, world_T=None,
+              descs=None, pts_w=None, kf_x0=0.0):
+    """Straight-line trajectory viewing a point cloud; optional pose noise
+    (drift) and a world transform (for the merge test's second map)."""
+    m = atlas.current
+    if pts_w is None:
+        pts_w = np.stack(
+            [rng.uniform(-3, 3, n_pts), rng.uniform(-2, 2, n_pts),
+             rng.uniform(5, 9, n_pts)], -1,
+        )
+    if descs is None:
+        bits = rng.integers(0, 2, size=(n_pts, 256)).astype(np.uint8)
+        descs = (2 * bits.astype(np.int8) - 1)
+    packed = np.packbits((descs > 0).astype(np.uint8), axis=1)
+
+    def world_to_map(X):
+        if world_T is None:
+            return X
+        R, t = world_T
+        return X @ R.T + t
+
+    kfs = []
+    mps = {}
+    for k in range(n_kf):
+        t_wc = np.array([kf_x0 + 0.4 * k, 0.0, 0.0])
+        R_cw = np.eye(3)
+        t_cw = -t_wc
+        Xc = pts_w - t_wc
+        uv = proj(Xc)
+        vis = (
+            (Xc[:, 2] > 1.0) & (uv[:, 0] > 10) & (uv[:, 0] < W - 10)
+            & (uv[:, 1] > 10) & (uv[:, 1] < H - 10)
+        )
+        idxs = np.where(vis)[0][:256]
+        n = len(idxs)
+        kp_uv = uv[idxs].astype(np.float32)
+        kid = atlas.next_kf_id()
+        # pose stored in MAP coordinates: T_cm = T_cw o T_wm with
+        # T_wm = inv(world_T) (X_w = R_mw^T (X_m - t_mw))
+        if world_T is not None:
+            R_mw, t_mw = world_T  # map <- world
+            R_cm = R_cw @ R_mw.T
+            t_cm = R_cw @ (-R_mw.T @ t_mw) + t_cw
+        else:
+            R_cm, t_cm = R_cw, t_cw
+        if pose_noise:
+            R_cm = R_cm.copy()
+            t_cm = t_cm + rng.normal(size=3) * pose_noise * k
+        kf = KeyFrame(
+            kid, kid, float(k), R_cm, t_cm, kp_uv,
+            np.zeros(n, np.int32), np.zeros(n, np.float32),
+            packed[idxs], descs[idxs].astype(np.int8),
+            np.full(n, -1.0, np.float32), np.full(n, -1.0, np.float32),
+            np.ones(n, bool),
+        )
+        m.add_keyframe(kf)
+        for fi, pi in enumerate(idxs):
+            pid = int(pi)
+            if pid not in mps:
+                mp = MapPoint(atlas.next_mp_id(), world_to_map(pts_w[pid:pid + 1])[0],
+                              kid, kid)
+                mp.desc_signed = descs[pid].astype(np.int8)
+                mp.desc_packed = packed[pid]
+                m.add_mappoint(mp)
+                mps[pid] = mp
+            mp = mps[pid]
+            mp.add_observation(kid, fi)
+            kf.mp_ids[fi] = mp.mid
+        kfs.append(kf)
+    for kf in kfs:
+        m.update_connections(kf)
+    return kfs, pts_w, descs
+
+
+def mean_reproj_error(m):
+    errs = []
+    for kf in m.keyframes.values():
+        for fi, mid in enumerate(kf.mp_ids):
+            if mid < 0:
+                continue
+            mp = m.mappoints.get(int(mid))
+            if mp is None:
+                continue
+            Xc = kf.R_cw @ mp.position + kf.t_cw
+            if Xc[2] < 0.5:
+                continue
+            uv = np.array([FX * Xc[0] / Xc[2] + W / 2, FX * Xc[1] / Xc[2] + H / 2])
+            errs.append(np.linalg.norm(uv - kf.kp_uv[fi]))
+    return float(np.mean(errs))
+
+
+class TestGlobalBA:
+    def test_reduces_reprojection_error(self, rng):
+        atlas = Atlas()
+        build_map(atlas, rng, n_kf=8, pose_noise=0.01)
+        m = atlas.current
+        e0 = mean_reproj_error(m)
+        assert e0 > 1.0  # drifted
+        inv_sigma2 = 1.0 / (1.2 ** (2 * np.arange(8)))
+        n_blocks = global_bundle_adjustment(m, CAM, 1.0, inv_sigma2, n_sweeps=2)
+        assert n_blocks >= 2
+        e1 = mean_reproj_error(m)
+        assert e1 < 0.3 * e0, (e0, e1)
+
+    def test_abort_flag_interrupts(self, rng):
+        atlas = Atlas()
+        build_map(atlas, rng, n_kf=8, pose_noise=0.01)
+        inv_sigma2 = 1.0 / (1.2 ** (2 * np.arange(8)))
+        n_blocks = global_bundle_adjustment(
+            atlas.current, CAM, 1.0, inv_sigma2, should_abort=lambda: True
+        )
+        assert n_blocks == 0
+
+
+class TestAtlasMerge:
+    def test_merge_welds_two_maps(self, rng):
+        """Track -> LOST -> new map in a transformed frame -> merge back:
+        one consistent map, trajectories in the OLD frame, atlas shrinks."""
+        from fasttrack_tpu.bow.vocabulary import train_vocabulary
+
+        atlas = Atlas()
+        m_old = atlas.current
+        kfs_a, pts_w, descs = build_map(atlas, rng, n_kf=8)
+
+        # new map after LOST: same world, but its own frame is offset by T
+        m_new = atlas.create_new_map()
+        th = 0.15
+        R_mw = np.array([[np.cos(th), -np.sin(th), 0],
+                         [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        t_mw = np.array([0.7, -0.4, 0.2])
+        # second trajectory revisits the same region (same descriptors!)
+        kfs_b, _, _ = build_map(
+            atlas, rng, n_kf=4, world_T=(R_mw, t_mw),
+            descs=descs, pts_w=pts_w, kf_x0=0.8,
+        )
+
+        voc = train_vocabulary(
+            np.concatenate([descs, descs]), n_words=64, iters=2
+        )
+        K = np.asarray(CAM.K())
+        lc = LoopCloser(atlas, voc, K, camera=CAM, bf=1.0, run_gba=False)
+        cand = kfs_a[3]  # old-map KF viewing the same region as kfs_b[0]
+        ok = lc._merge_maps(kfs_b[0], m_new, m_old, cand)
+        assert ok
+        assert atlas.current is m_old
+        assert m_new not in atlas.maps
+        assert all(kf.kid in m_old.keyframes for kf in kfs_b)
+        # the welded poses must land near their true poses in the OLD frame:
+        # kfs_b[k] truly sits at x = 0.8 + 0.4 k (camera center, old world)
+        for k, kf in enumerate(kfs_b):
+            c = kf.center
+            c_true = np.array([0.8 + 0.4 * k, 0.0, 0.0])
+            assert np.linalg.norm(c - c_true) < 0.15, (k, c, c_true)
+        assert lc.n_maps_merged == 1

@@ -10,6 +10,7 @@ from fasttrack_tpu.geometry import SE3, se3_apply, se3_compose, se3_exp, se3_inv
 from fasttrack_tpu.optim import BAProblem
 from fasttrack_tpu.parallel import (
     distributed_ba_iteration,
+    distributed_bundle_adjustment,
     make_mesh,
     sharded_extract_batch,
 )
@@ -97,6 +98,46 @@ class TestDistributedBA:
         seen = np.asarray(prob.mask).sum(1) >= 3
         pt_err = np.linalg.norm(np.asarray(points - X_true), axis=-1)
         assert np.median(pt_err[seen]) < 1e-2
+
+    def test_lm_loop_converges_with_accept_reject(self, rng):
+        """The full distributed LM loop: monotone accepted costs, converges
+        to the ground truth (the reference's g2o LM schedule semantics)."""
+        mesh = make_mesh(8)
+        prob, P_true, X_true = make_problem(rng)
+        poses, points, costs = distributed_bundle_adjustment(
+            prob, CAM, BF, mesh, iters=12
+        )
+        assert len(costs) >= 4  # several accepted steps
+        assert all(b < a for a, b in zip(costs, costs[1:]))  # monotone
+        assert costs[-1] < 1e-3 * costs[0], costs
+        for k in range(1, 4):
+            err = np.asarray(
+                se3_log(
+                    se3_compose(
+                        SE3(poses.R[k], poses.t[k]),
+                        se3_inverse(SE3(P_true.R[k], P_true.t[k])),
+                    )
+                )
+            )
+            assert np.abs(err).max() < 1e-3, (k, err)
+
+    def test_lm_loop_parity_with_local_solver(self, rng):
+        """Distributed LM vs the single-device window solver on the same
+        problem: both must land on (nearly) the same optimum."""
+        from fasttrack_tpu.optim import local_bundle_adjustment
+
+        mesh = make_mesh(8)
+        prob, P_true, X_true = make_problem(rng)
+        poses_d, points_d, _ = distributed_bundle_adjustment(
+            prob, CAM, BF, mesh, iters=12
+        )
+        res = local_bundle_adjustment(prob, CAM, BF)
+        np.testing.assert_allclose(
+            np.asarray(poses_d.t), np.asarray(res.poses.t), atol=2e-3
+        )
+        seen = np.asarray(prob.mask).sum(1) >= 3
+        d = np.linalg.norm(np.asarray(points_d) - np.asarray(res.points), axis=-1)
+        assert np.median(d[seen]) < 2e-3
 
     def test_matches_single_device(self, rng):
         prob, _, _ = make_problem(rng)
