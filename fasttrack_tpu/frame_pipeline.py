@@ -139,6 +139,22 @@ def _search_optimize_stage(
     return res, opt
 
 
+@jax.jit
+def pack_frame_for_host(fd: FrameData):
+    """Pack the host-needed frame state into TWO buffers: a (7, N) f32 block
+    (x, y, level, angle, u_right, depth, valid) + the (N, 32) packed
+    descriptors. The tracker's per-frame snapshot then costs two
+    device->host fetches (~60 KB) instead of ten (incl. a 256 KB int8
+    matrix) — on a remote-device link each fetch is a round trip, and the
+    signed descriptors are reconstructed on host from the packed bits."""
+    k = fd.kps
+    f32 = jnp.stack([
+        k.x, k.y, k.level.astype(jnp.float32), k.angle,
+        fd.u_right, fd.depth, k.valid.astype(jnp.float32),
+    ])
+    return f32, k.desc_packed
+
+
 def tracking_hot_path(
     images: jnp.ndarray,      # (2, H, W) stacked L/R images (uint8 ok)
     config: OrbConfig,

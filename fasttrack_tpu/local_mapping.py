@@ -79,7 +79,7 @@ class LocalMapper:
         self.tracker = tracker              # for IMU-init state sync
         self.monocular = monocular
         self.imu_init_kfs = 6               # KFs needed before InitializeIMU
-        self.viba2_done = False
+        self.imu_init_time = None           # timestamp of InitializeIMU
         self.recent_mp_ids: list[tuple[int, int]] = []  # (mp_id, first_kf)
         self.run_async = run_async
         self.abort_ba = False
@@ -142,6 +142,17 @@ class LocalMapper:
             self._cull_keyframes(kf)
         if self.imu_calib is not None and not m.imu_initialized:
             self._try_initialize_imu(kf)
+        elif self.imu_calib is not None and self.imu_init_time is not None:
+            # VIBA staging (LocalMapping.cc:181-242): full-map inertial BA
+            # ~5 s and ~15 s after initialization refines scale/gravity/bias
+            # once more motion has accumulated.
+            dt = kf.timestamp - self.imu_init_time
+            if not m.iniertial_ba1 and dt > 5.0:
+                self._full_inertial_ba(kf)
+                m.iniertial_ba1 = True
+            elif m.iniertial_ba1 and not m.iniertial_ba2 and dt > 15.0:
+                self._full_inertial_ba(kf)
+                m.iniertial_ba2 = True
         if self.loop_closer is not None and kf.kid in m.keyframes:
             self.loop_closer.insert_keyframe(kf)
 
@@ -443,6 +454,7 @@ class LocalMapper:
             k.velocity = scale * (res.R_gw @ res.velocities[i])
             k.imu_bias = (res.bg.copy(), np.zeros(3))
         m.imu_initialized = True
+        self.imu_init_time = kf.timestamp
         m.info_changed()
         if self.tracker is not None and chain[-1].kid == getattr(
             self.tracker, "last_kf_id", None
@@ -463,6 +475,27 @@ class LocalMapper:
         """Optimizer::LocalInertialBA (Optimizer.cc:2383): temporal window of
         recent KFs with per-KF (pose, velocity, bias) states, inertial edges
         between consecutive KFs, visual edges to the window's map points."""
+        chain = self._temporal_chain(kf, max_len=window + 1)
+        self._inertial_window_ba(chain, window)
+
+    def _full_inertial_ba(self, kf: KeyFrame, window: int = 8):
+        """Optimizer::FullInertialBA (Optimizer.cc:392), staged from
+        LocalMapping.cc:181-242: polish the WHOLE temporal chain after IMU
+        initialization. TPU-shape-first: overlapping fixed-shape inertial
+        windows swept along the chain (each window anchors on the previous
+        window's last optimized state), like the visual global BA's block
+        sweeps — one XLA program regardless of map size."""
+        chain = self._temporal_chain(kf, max_len=100000)
+        if len(chain) <= window + 1:
+            self._inertial_window_ba(chain, window)
+            return
+        step = max(window - 1, 1)
+        for start in range(0, len(chain) - 2, step):
+            seg = chain[start:start + window + 1]
+            if len(seg) >= 3:
+                self._inertial_window_ba(seg, window)
+
+    def _inertial_window_ba(self, chain, window: int = 8):
         import jax.numpy as jnp
 
         from fasttrack_tpu.imu.preintegration import ImuBias, Preintegrated
@@ -471,7 +504,6 @@ class LocalMapper:
         )
 
         m = self.atlas.current
-        chain = self._temporal_chain(kf, max_len=window + 1)
         # need contiguous preintegration between all consecutive pairs
         usable = [chain[0]]
         for k in chain[1:]:

@@ -239,3 +239,26 @@ def resolve_duplicates(res: MatchResult, n_keypoints: int) -> jnp.ndarray:
     tie_key = jnp.where(is_winner, qidx, jnp.int32(1 << 30))
     first_winner = jax.ops.segment_min(tie_key, res.idx, num_segments=n_keypoints)
     return is_winner & (qidx == first_winner[res.idx])
+
+
+@jax.jit
+def twm_match_packed(q7, q_desc, kp_x, kp_y, kp_desc, kp_level, kp_valid, kp_angle):
+    """twm_match with the query side packed into ONE (7, M) f32 upload
+    [u, v, radius, level_min, level_max, valid, angle] — on a remote-device
+    link every separate host->device array is its own transfer."""
+    return twm_match(
+        q7[0], q7[1], q_desc, q7[2],
+        q7[3].astype(jnp.int32), q7[4].astype(jnp.int32), q7[5] > 0.5,
+        kp_x, kp_y, kp_desc, kp_level, kp_valid, q7[6], kp_angle,
+    )
+
+
+@jax.jit
+def tlm_match_packed(q6, q_desc, kp_x, kp_y, kp_desc, kp_level, kp_valid, taken_f32):
+    """tlm_match with the query side packed into ONE (6, M) f32 upload
+    [u, v, radius, level_min, level_max, valid]."""
+    return tlm_match(
+        q6[0], q6[1], q_desc, q6[2],
+        q6[3].astype(jnp.int32), q6[4].astype(jnp.int32), q6[5] > 0.5,
+        kp_x, kp_y, kp_desc, kp_level, kp_valid, taken_f32 > 0.5,
+    )

@@ -34,12 +34,17 @@ from fasttrack_tpu.frame_pipeline import (
 from fasttrack_tpu.geometry import SE3
 from fasttrack_tpu.kernels import KernelConfig
 from fasttrack_tpu.ops.extractor import OrbConfig
-from fasttrack_tpu.ops.project_match import TH_HIGH, tlm_match, twm_match
+from fasttrack_tpu.ops.project_match import (
+    TH_HIGH,
+    tlm_match_packed,
+    twm_match_packed,
+)
 from fasttrack_tpu.optim import pose_optimize
 from fasttrack_tpu.slam_map import Atlas, KeyFrame, MapPoint
 from fasttrack_tpu.stats import Stats
 
 
+from fasttrack_tpu.nputils import device_fetch
 from fasttrack_tpu.nputils import orthonormalize as _orthonormalize
 
 
@@ -146,19 +151,41 @@ class Tracker:
         self._minz_dev = jnp.float32(self.baseline)
 
     # ------------------------------------------------------------------ utils
+    def _frame_device_arrays(self, frame: TrackedFrame):
+        """Device-resident (x, y, desc, level, valid, angle) of the CURRENT
+        frame if its FrameData is still live (no re-upload); falls back to
+        uploading the host snapshot (e.g. relocalizing an older frame)."""
+        fd = getattr(self, "_fd_dev", None)
+        if fd is not None and frame.frame_id == self.frame_id:
+            k = fd.kps
+            return k.x, k.y, k.desc_signed, k.level, k.valid, k.angle
+        return (
+            jnp.asarray(frame.kp_uv[:, 0]), jnp.asarray(frame.kp_uv[:, 1]),
+            jnp.asarray(frame.desc_signed),
+            jnp.asarray(frame.kp_level.astype(np.int32)),
+            jnp.asarray(frame.valid), jnp.asarray(frame.kp_angle),
+        )
+
     def _snapshot(self, fd, timestamp) -> TrackedFrame:
-        kps = fd.kps
+        """Host snapshot in TWO device->host fetches (a packed f32 block +
+        packed descriptors; frame_pipeline.pack_frame_for_host) — each fetch
+        is a full round trip on a remote-device link."""
+        from fasttrack_tpu.frame_pipeline import pack_frame_for_host
+
+        f32_d, packed_d = pack_frame_for_host(fd)
+        f32, packed = device_fetch(f32_d, packed_d)
+        bits = np.unpackbits(packed, axis=1, bitorder="little")
         return TrackedFrame(
             frame_id=self.frame_id,
             timestamp=timestamp,
-            kp_uv=np.stack([np.asarray(kps.x), np.asarray(kps.y)], -1),
-            kp_level=np.asarray(kps.level),
-            kp_angle=np.asarray(kps.angle),
-            desc_packed=np.asarray(kps.desc_packed),
-            desc_signed=np.asarray(kps.desc_signed),
-            u_right=np.asarray(fd.u_right),
-            depth=np.asarray(fd.depth),
-            valid=np.asarray(kps.valid),
+            kp_uv=np.ascontiguousarray(f32[:2].T),
+            kp_level=f32[2].astype(np.int32),
+            kp_angle=f32[3],
+            desc_packed=packed,
+            desc_signed=(2 * bits.astype(np.int8) - 1),
+            u_right=f32[4],
+            depth=f32[5],
+            valid=f32[6] > 0.5,
         )
 
     def _unproject(self, frame: TrackedFrame, idx: np.ndarray) -> np.ndarray:
@@ -415,8 +442,14 @@ class Tracker:
 
     def _track_frame(self, fd, timestamp: float, t0: float):
         frame = self._snapshot(fd, timestamp)
+        # keep the device-resident keypoint arrays for this frame's matcher
+        # calls (zero re-upload of the frame side; persistent residency,
+        # KernelController.cu:100-117)
+        self._fd_dev = fd
         self.stats.record("orb_extraction", (time.perf_counter() - t0) * 1e3)
-        return self._track_prepared(frame, t0)
+        out = self._track_prepared(frame, t0)
+        self._fd_dev = None
+        return out
 
     def _track_prepared(self, frame: TrackedFrame, t0: float):
         timestamp = frame.timestamp
@@ -780,23 +813,28 @@ class Tracker:
         lmax = np.minimum(lvl + 1, self.cfg.n_levels - 1).astype(np.int32)
         for widen in (1.0, 2.0):  # retry with doubled window (Tracking.cc:2964)
             if self.kcfg.pose_estimation:
-                idx, keep = twm_match(
-                    jnp.asarray(u.astype(np.float32)),
-                    jnp.asarray(v.astype(np.float32)),
-                    jnp.asarray(desc),
-                    jnp.asarray(radius * widen),
-                    jnp.asarray(lmin),
-                    jnp.asarray(lmax),
-                    jnp.asarray(okq),
-                    jnp.asarray(frame.kp_uv[:, 0]),
-                    jnp.asarray(frame.kp_uv[:, 1]),
-                    jnp.asarray(frame.desc_signed),
-                    jnp.asarray(frame.kp_level.astype(np.int32)),
-                    jnp.asarray(frame.valid),
-                    jnp.asarray(last.kp_angle),
-                    jnp.asarray(frame.kp_angle),
+                # per-kernel phase stats (the reference's REGISTER_STATS
+                # wrap/H2D/exec/D2H split, StereoMatchKernel.cu:636-706)
+                t_w = time.perf_counter()
+                q7 = np.stack([
+                    u, v, radius * widen, lmin, lmax,
+                    okq.astype(np.float64), last.kp_angle,
+                ]).astype(np.float32)
+                kx, ky, kd, klvl, kvalid, kang = self._frame_device_arrays(frame)
+                t_h = time.perf_counter()
+                q7_d = jnp.asarray(q7)
+                desc_d = jnp.asarray(desc)
+                t_x = time.perf_counter()
+                idx, keep = twm_match_packed(
+                    q7_d, desc_d, kx, ky, kd, klvl, kvalid, kang,
                 )
-                keep_np = np.asarray(keep)
+                t_d = time.perf_counter()
+                idx, keep_np = device_fetch(idx, keep)
+                t_e = time.perf_counter()
+                self.stats.record("twm_wrap", (t_h - t_w) * 1e3)
+                self.stats.record("twm_h2d", (t_x - t_h) * 1e3)
+                self.stats.record("twm_exec", (t_d - t_x) * 1e3)
+                self.stats.record("twm_d2h", (t_e - t_d) * 1e3)
             else:
                 # host path (ORBmatcher.cc:1992 CPU branch of the
                 # poseEstimation toggle)
@@ -877,14 +915,16 @@ class Tracker:
             jnp.asarray(self._inv_sigma2[frame.kp_level]),
             jnp.asarray(ok),
         )
-        inl = np.asarray(res.inliers)
-        self.n_inliers = int(res.n_inliers)
+        inl, n_inl, R_new, t_new = device_fetch(
+            res.inliers, res.n_inliers, res.pose.R, res.pose.t
+        )
+        self.n_inliers = int(n_inl)
         # unbind outliers (Tracking.cc:2996-3038)
         frame.mp_ids[~inl] = -1
         if self.n_inliers < min_inliers:
             return False
-        frame.R_cw = _orthonormalize(np.asarray(res.pose.R, np.float64))
-        frame.t_cw = np.asarray(res.pose.t, np.float64)
+        frame.R_cw = _orthonormalize(R_new.astype(np.float64))
+        frame.t_cw = t_new.astype(np.float64)
         return True
 
     def _optimize_frame_pose_inertial(
@@ -1106,23 +1146,27 @@ class Tracker:
         radius = 4.0 * self._scale_factors[levels]  # th=1? reference r=th*radius(viewCos)
         taken = frame.mp_ids >= 0
         if self.kcfg.search_local_points:
-            idx, keep = tlm_match(
-                jnp.asarray(u.astype(np.float32)),
-                jnp.asarray(v.astype(np.float32)),
-                jnp.asarray(desc),
-                jnp.asarray(radius.astype(np.float32)),
-                jnp.asarray(np.maximum(levels - 1, 0)),
-                jnp.asarray(levels),
-                jnp.asarray(okq),
-                jnp.asarray(frame.kp_uv[:, 0]),
-                jnp.asarray(frame.kp_uv[:, 1]),
-                jnp.asarray(frame.desc_signed),
-                jnp.asarray(frame.kp_level.astype(np.int32)),
-                jnp.asarray(frame.valid),
-                jnp.asarray(taken),
+            t_w = time.perf_counter()
+            q6 = np.stack([
+                u, v, radius, np.maximum(levels - 1, 0), levels,
+                okq.astype(np.float64),
+            ]).astype(np.float32)
+            kx, ky, kd, klvl, kvalid, _ = self._frame_device_arrays(frame)
+            t_h = time.perf_counter()
+            q6_d = jnp.asarray(q6)
+            desc_d = jnp.asarray(desc)
+            taken_d = jnp.asarray(taken.astype(np.float32))
+            t_x = time.perf_counter()
+            idx, keep = tlm_match_packed(
+                q6_d, desc_d, kx, ky, kd, klvl, kvalid, taken_d,
             )
-            keep_np = np.asarray(keep)
-            idx_np = np.asarray(idx)
+            t_d = time.perf_counter()
+            idx_np, keep_np = device_fetch(idx, keep)
+            t_e = time.perf_counter()
+            self.stats.record("slp_wrap", (t_h - t_w) * 1e3)
+            self.stats.record("slp_h2d", (t_x - t_h) * 1e3)
+            self.stats.record("slp_exec", (t_d - t_x) * 1e3)
+            self.stats.record("slp_d2h", (t_e - t_d) * 1e3)
         else:
             # host path (ORBmatcher.cc:227 CPU branch of the
             # searchLocalPoints toggle)

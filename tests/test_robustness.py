@@ -178,3 +178,25 @@ class TestBadImuReset:
         assert m.n_keyframes() == 0
         assert tr.state == TrackingState.NOT_INITIALIZED
         assert len(tr.stats.series.get("bad_imu_reset", [])) == 1
+
+
+class TestViewer:
+    def test_frame_and_map_render(self, tmp_path, small_seq):
+        """Viewer renders frame overlays + a 3D map view headlessly
+        (Viewer.cc / FrameDrawer.cc / MapDrawer.cc equivalents)."""
+        sys_ = _stereo_system()
+        for t, l, r in small_seq[:4]:
+            sys_.track_stereo(l, r, t)
+        from fasttrack_tpu.viewer import Viewer
+
+        v = Viewer(sys_, str(tmp_path), fps=1.0)
+        v.push_image(small_seq[3][1])
+        frame_png, map_png = v.render_once()
+        import os
+        from PIL import Image
+
+        assert os.path.exists(frame_png) and os.path.exists(map_png)
+        fr = np.asarray(Image.open(frame_png))
+        assert fr.shape[2] == 3 and fr.shape[0] == 240
+        mp = np.asarray(Image.open(map_png))
+        assert mp.ndim == 3 and mp.shape[2] == 3
