@@ -153,6 +153,11 @@ class LocalMapper:
             elif m.iniertial_ba1 and not m.iniertial_ba2 and dt > 15.0:
                 self._full_inertial_ba(kf)
                 m.iniertial_ba2 = True
+            elif self.monocular and not m.iniertial_ba2:
+                # periodic monocular scale refinement until BA2 locks scale
+                self._scale_kf_counter = getattr(self, "_scale_kf_counter", 0) + 1
+                if self._scale_kf_counter % 10 == 0:
+                    self._scale_refinement(kf)
         if self.loop_closer is not None and kf.kid in m.keyframes:
             self.loop_closer.insert_keyframe(kf)
 
@@ -470,6 +475,43 @@ class LocalMapper:
         # VIBA: polish the freshly initialized window with a full inertial BA
         # (the reference's FullInertialBA after init, LocalMapping.cc:181-242).
         self._local_inertial_ba(kf)
+
+    def _scale_refinement(self, kf: KeyFrame):
+        """LocalMapping::ScaleRefinement (LocalMapping.cc:1429): re-estimate
+        the monocular map scale (and gravity direction) in closed form over
+        the recent temporal chain; apply only when the correction is
+        non-trivial (|s - 1| > 0.002, the reference's gate)."""
+        from fasttrack_tpu.imu.init import initialize_imu
+
+        m = self.atlas.current
+        chain = self._temporal_chain(kf, max_len=64)
+        chain = [k for i, k in enumerate(chain)
+                 if i == 0 or k.preintegrated is not None]
+        if len(chain) < self.imu_init_kfs:
+            return
+        R_bc = np.asarray(self.imu_calib.R_bc, np.float64)
+        t_bc = np.asarray(self.imu_calib.t_bc, np.float64)
+        R_wb, p_w, preints = [], [], []
+        for i, k in enumerate(chain):
+            Rb, pb = _body_from_cam_np(k.R_cw, k.t_cw, R_bc, t_bc)
+            R_wb.append(Rb)
+            p_w.append(pb)
+            if i > 0:
+                preints.append(k.preintegrated)
+        res = initialize_imu(R_wb, p_w, preints, mono_scale=True)
+        if not res.success:
+            return
+        if abs(res.scale - 1.0) > 0.002:
+            m.apply_scaled_rotation(res.R_gw, res.scale, scale_velocities=True)
+            if self.tracker is not None and chain[-1].kid == getattr(
+                self.tracker, "last_kf_id", None
+            ):
+                t = self.tracker
+                last = chain[-1]
+                R_wb_l, p_w_l = _body_from_cam_np(last.R_cw, last.t_cw, R_bc, t_bc)
+                v = np.asarray(last.velocity) if last.velocity is not None else t.v_w
+                t.last_kf_state = (R_wb_l, p_w_l, v)
+            m.info_changed()
 
     def _local_inertial_ba(self, kf: KeyFrame, window: int = 8):
         """Optimizer::LocalInertialBA (Optimizer.cc:2383): temporal window of

@@ -190,6 +190,87 @@ class LoopCloser:
         return (np.asarray(X1), np.asarray(X2), np.asarray(uv1),
                 np.asarray(uv2), np.asarray(s1), np.asarray(s2), ic, il)
 
+    def _search_by_sim3(self, kf: KeyFrame, m1, cand: KeyFrame, m2, res):
+        """ORBmatcher::SearchBySim3 (ORBmatcher.cc:1556): expand the loop
+        match set by projecting each keyframe's map points into the OTHER
+        view through the solved Sim3 and window-matching there. Returns
+        additional (X1, X2, uv1, uv2, s1, s2) rows for a refined solve."""
+        from fasttrack_tpu.cameras.host import in_image_np
+        from fasttrack_tpu.ops.host_kernels import host_search_by_projection
+
+        s, R, t = res.s, res.R, res.t
+
+        def project_and_match(src_kf, src_map, dst_kf, S):
+            sc, Rc, tc = S
+            mids = [int(x) for x in src_kf.mp_ids if x >= 0]
+            rows = src_map.rows_for(np.asarray(mids, np.int64))
+            sel = rows >= 0
+            if not sel.any():
+                return {}
+            mids = np.asarray(mids)[sel]
+            pos = src_map.store.pos[rows[sel]]
+            packed = src_map.store.desc_packed[rows[sel]]
+            # src world -> src cam -> (Sim3) -> dst cam -> dst pixels
+            Xs = pos @ src_kf.R_cw.T + src_kf.t_cw
+            Xd = sc * (Xs @ Rc.T) + tc
+            z = Xd[:, 2]
+            ok = z > 0.1
+            uv = np.stack([
+                self.K[0, 0] * Xd[:, 0] / np.maximum(z, 1e-9) + self.K[0, 2],
+                self.K[1, 1] * Xd[:, 1] / np.maximum(z, 1e-9) + self.K[1, 2],
+            ], -1)
+            ok &= in_image_np(self.camera, uv) if self.camera is not None else (
+                (uv[:, 0] >= 0) & (uv[:, 1] >= 0))
+            idx, _, hit = host_search_by_projection(
+                uv.astype(np.float32), packed,
+                np.full(len(mids), 7.5, np.float32),
+                np.zeros(len(mids), np.int32),
+                np.full(len(mids), self.n_levels - 1, np.int32), ok,
+                dst_kf.kp_uv.astype(np.float32), dst_kf.desc_packed,
+                dst_kf.kp_level.astype(np.int32), dst_kf.valid,
+                max_dist=75,
+            )
+            return {int(mids[q]): int(idx[q]) for q in np.where(hit)[0]}
+
+        S12 = (s, R, t)                       # cand-cam -> cur-cam
+        S21 = (1.0 / s, R.T, -(R.T @ t) / s)
+        fwd = project_and_match(cand, m2, kf, S21)   # cand pts -> cur image
+        bwd = project_and_match(kf, m1, cand, S12)   # cur pts -> cand image
+        X1, X2, uv1, uv2, s1, s2 = [], [], [], [], [], []
+
+        def add_row(mp1, fi1, mp2, fi2):
+            X1.append(kf.R_cw @ mp1.position + kf.t_cw)
+            X2.append(cand.R_cw @ mp2.position + cand.t_cw)
+            uv1.append(kf.kp_uv[fi1])
+            uv2.append(cand.kp_uv[fi2])
+            s1.append(self.scale_factor ** (2 * int(kf.kp_level[fi1])))
+            s2.append(self.scale_factor ** (2 * int(cand.kp_level[fi2])))
+
+        seen_pairs = set()
+        for mid2, fi1 in fwd.items():
+            mp2 = m2.mappoints.get(mid2)
+            mid1 = int(kf.mp_ids[fi1])
+            mp1 = m1.mappoints.get(mid1) if mid1 >= 0 else None
+            fi2 = mp2.observations.get(cand.kid) if mp2 is not None else None
+            if mp1 is None or mp2 is None or fi2 is None:
+                continue
+            add_row(mp1, fi1, mp2, int(fi2))
+            seen_pairs.add((mp1.mid, mp2.mid))
+        for mid1, fi2 in bwd.items():
+            mp1 = m1.mappoints.get(mid1)
+            mid2 = int(cand.mp_ids[fi2])
+            mp2 = m2.mappoints.get(mid2) if mid2 >= 0 else None
+            fi1 = mp1.observations.get(kf.kid) if mp1 is not None else None
+            if mp1 is None or mp2 is None or fi1 is None:
+                continue
+            if (mp1.mid, mp2.mid) in seen_pairs:
+                continue
+            add_row(mp1, int(fi1), mp2, fi2)
+        if not X1:
+            return None
+        return (np.asarray(X1), np.asarray(X2), np.asarray(uv1),
+                np.asarray(uv2), np.asarray(s1), np.asarray(s2))
+
     def _verify_and_correct(self, kf: KeyFrame, cand_id: int) -> bool:
         m = self.atlas.current
         cand = m.keyframes.get(cand_id)
@@ -205,6 +286,22 @@ class LoopCloser:
         )
         if not res.success:
             return False
+        # SearchBySim3 refinement (LoopClosing::DetectCommonRegionsFromBoW
+        # second pass): expand matches through the solved Sim3, re-solve.
+        extra = self._search_by_sim3(kf, m, cand, m, res)
+        if extra is not None and len(extra[0]) >= 10:
+            Xa = np.concatenate([X1, extra[0]])
+            Xb = np.concatenate([X2, extra[1]])
+            ua = np.concatenate([uv1, extra[2]])
+            ub = np.concatenate([uv2, extra[3]])
+            sa = np.concatenate([s1, extra[4]])
+            sb = np.concatenate([s2, extra[5]])
+            res2 = solve_sim3(
+                Xa, Xb, ua, ub, self.K, self.K, sa, sb,
+                fix_scale=self.fix_scale, min_inliers=20,
+            )
+            if res2.success and res2.n_inliers >= res.n_inliers:
+                res = res2
         self._correct_loop(kf, cand, res)
         return True
 

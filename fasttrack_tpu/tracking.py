@@ -686,12 +686,14 @@ class Tracker:
             if ok:
                 self.state = TrackingState.OK
                 self.lost_since = None
-                # velocity = Tcw_cur * Twc_last
-                R_wl, t_wl = self.last_frame.pose_wc()
-                self.velocity = (
-                    _orthonormalize(frame.R_cw @ R_wl),
-                    frame.R_cw @ t_wl + frame.t_cw,
-                )
+                # velocity = Tcw_cur * Twc_last (undefined right after an
+                # atlas load: no last frame yet)
+                if self.last_frame is not None and self.last_frame.R_cw is not None:
+                    R_wl, t_wl = self.last_frame.pose_wc()
+                    self.velocity = (
+                        _orthonormalize(frame.R_cw @ R_wl),
+                        frame.R_cw @ t_wl + frame.t_cw,
+                    )
                 self._update_found_counters(frame)
                 # Localization-only mode (System::ActivateLocalizationMode):
                 # track against the frozen map, never insert keyframes.
@@ -779,6 +781,10 @@ class Tracker:
         (Tracking.cc:2924-2933) instead of the constant-velocity model."""
         m = self.atlas.current
         last = self.last_frame
+        if last is None:
+            # freshly loaded atlas: no last frame yet — the reference-KF
+            # matcher (BoW route) handles re-acquisition
+            return False
         if self._imu_ready():
             R_wb, p_w, v_w = self._predict_state_imu()
             R_pred, t_pred = self._cam_from_body(R_wb, p_w)
@@ -885,8 +891,9 @@ class Tracker:
             return False
         frame.mp_ids[:] = -1
         frame.mp_ids[np.asarray(res.idx_right)[keep]] = kf.mp_ids[keep]
-        R0 = self.last_frame.R_cw if self.last_frame.R_cw is not None else kf.R_cw
-        t0 = self.last_frame.t_cw if self.last_frame.t_cw is not None else kf.t_cw
+        lf = self.last_frame
+        R0 = lf.R_cw if (lf is not None and lf.R_cw is not None) else kf.R_cw
+        t0 = lf.t_cw if (lf is not None and lf.t_cw is not None) else kf.t_cw
         return self._optimize_frame_pose(frame, R0, t0, min_inliers=10)
 
     def _optimize_frame_pose(self, frame, R0, t0, min_inliers=10) -> bool:

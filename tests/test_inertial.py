@@ -210,3 +210,41 @@ class TestStereoInertialE2E:
         ate = absolute_trajectory_error(t_est, p_est, seq.gt_t, seq.gt_pos)
         # dead-reckoning drift over 0.3 s should stay small
         assert ate["rmse"] < 0.12, ate
+
+
+class TestInertialAtlasRoundTrip:
+    def test_save_load_resumes_inertial_tracking(self, imu_seq, tmp_path):
+        """System.cc:1424-1560 parity for the INERTIAL state: velocity,
+        bias, preintegration chain, prev/next links, and the map's
+        imu_initialized flag survive a save/load, and the reloaded tracker
+        resumes with its IMU anchor restored."""
+        seq = imu_seq
+        sys1 = make_imu_system(seq)
+        t_prev = -1.0
+        for fr in seq.frames[:55]:
+            imu = _imu_between(seq, t_prev, fr.timestamp)
+            sys1.track_stereo(fr.left, fr.right, fr.timestamp, imu=imu)
+            t_prev = fr.timestamp
+        assert sys1.atlas.current.imu_initialized
+        path = str(tmp_path / "atlas.pkl")
+        sys1.save_atlas(path)
+
+        sys2 = make_imu_system(seq)
+        sys2.load_atlas(path)
+        m2 = sys2.atlas.current
+        assert m2.imu_initialized
+        assert m2.n_keyframes() == sys1.atlas.current.n_keyframes()
+        # inertial chain fields survived
+        kfs = sorted(m2.keyframes.values(), key=lambda k: k.kid)
+        assert any(k.velocity is not None for k in kfs)
+        assert any(k.imu_bias is not None for k in kfs)
+        assert any(k.preintegrated is not None for k in kfs)
+        assert any(k.prev_kf_id is not None for k in kfs)
+        # tracker resumed its IMU anchor from the newest keyframe
+        assert sys2.tracker.last_kf_state is not None
+        # and can keep tracking the remaining frames with IMU
+        for fr in seq.frames[55:]:
+            imu = _imu_between(seq, t_prev, fr.timestamp)
+            sys2.track_stereo(fr.left, fr.right, fr.timestamp, imu=imu)
+            t_prev = fr.timestamp
+        assert sys2.tracking_state in (TrackingState.OK, TrackingState.RECENTLY_LOST)
