@@ -319,9 +319,11 @@ class LoopCloser:
         T2w = (1.0, cand.R_cw, cand.t_cw)
         S_cw_corr = sim3_mul(S12, T2w)
 
-        # Old pose of current KF and the correction applied to its group:
+        # World-side correction W with x' = W x, derived from requiring the
+        # corrected current pose to equal S_cw_corr: T1w' = T1w o W^-1 =
+        # S_cw_corr  =>  W = S_cw_corr^-1 o T1w.
         T1w = (1.0, kf.R_cw.copy(), kf.t_cw.copy())
-        corr = sim3_mul(S_cw_corr, sim3_inv(T1w))  # world-side correction
+        corr = sim3_mul(sim3_inv(S_cw_corr), T1w)
 
         group = [kf.kid] + list(kf.covisible)
         corrected: dict[int, tuple] = {}

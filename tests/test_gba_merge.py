@@ -175,3 +175,49 @@ class TestAtlasMerge:
             c_true = np.array([0.8 + 0.4 * k, 0.0, 0.0])
             assert np.linalg.norm(c - c_true) < 0.15, (k, c, c_true)
         assert lc.n_maps_merged == 1
+
+
+class TestLoopClosureE2E:
+    def test_detects_and_corrects_loop(self, rng):
+        """Full loop-closing path through process_keyframe: BoW candidates
+        across the database, temporal consistency, Sim3 verification with
+        SearchBySim3 refinement, CorrectLoop + essential graph + global BA
+        (LoopClosing::Run end-to-end)."""
+        from fasttrack_tpu.bow.vocabulary import train_vocabulary
+
+        atlas = Atlas()
+        m = atlas.current
+        # outbound leg: KFs viewing cloud A, clean poses
+        kfs_a, pts_w, descs = build_map(atlas, rng, n_kf=6)
+        # return leg: revisits the same region but with DRIFTED poses and its
+        # own duplicate map points (what accumulated drift really produces)
+        th = 0.06
+        Rd = np.array([[np.cos(th), -np.sin(th), 0],
+                       [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        td = np.array([0.25, -0.15, 0.1])
+        kfs_b, _, _ = build_map(
+            atlas, rng, n_kf=3, world_T=(Rd, td),
+            descs=descs, pts_w=pts_w, kf_x0=0.4,
+        )
+        voc = train_vocabulary(np.concatenate([descs, descs]), n_words=64, iters=2)
+        lc = LoopCloser(
+            atlas, voc, np.asarray(CAM.K()), camera=CAM, bf=1.0,
+            run_gba=True, min_consistency=2,
+        )
+        drift_before = max(
+            np.linalg.norm(kf.center - np.array([0.4 + 0.4 * k, 0, 0]))
+            for k, kf in enumerate(kfs_b)
+        )
+        assert drift_before > 0.15  # the injected drift is visible
+        for kf in kfs_a:
+            lc.process_keyframe(kf.kid)
+        closed = False
+        for kf in kfs_b:
+            closed |= lc.process_keyframe(kf.kid)
+        assert closed and lc.n_loops_closed >= 1
+        assert lc.n_gba_runs >= 1  # run_gba is consumed, not dead
+        drift_after = max(
+            np.linalg.norm(kf.center - np.array([0.4 + 0.4 * k, 0, 0]))
+            for k, kf in enumerate(kfs_b)
+        )
+        assert drift_after < 0.6 * drift_before, (drift_before, drift_after)

@@ -116,3 +116,38 @@ class TestStereoTrackingE2E:
             sys2.atlas.current.keyframes[kf0].t_cw,
             sys.atlas.current.keyframes[kf0].t_cw,
         )
+
+
+class TestRelocalization:
+    def test_lost_then_relocalizes_with_default_vocab(self, seq):
+        """Visual-only lost -> relocalize (Tracking::Relocalization,
+        Tracking.cc:3798) with the SHIPPED default vocabulary: blank frames
+        drop tracking to RECENTLY_LOST; when the camera revisits a mapped
+        view, BoW candidates + PnP re-acquire the ORIGINAL map (no new map
+        in the Atlas)."""
+        sys = make_system(seq)  # vocabulary defaults to the shipped artifact
+        assert sys.loop_closer is not None  # place recognition is ON
+        for fr in seq.frames[:20]:
+            sys.track_stereo(fr.left, fr.right, fr.timestamp)
+        assert sys.tracking_state == TrackingState.OK
+        n_maps_before = sys.atlas.n_maps()
+        assert sys.atlas.current.n_keyframes() >= 1
+
+        blank = np.full_like(seq.frames[0].left, 127)
+        t = seq.frames[19].timestamp
+        for k in range(3):  # < time_recently_lost: stays RECENTLY_LOST
+            t += 0.05
+            sys.track_stereo(blank, blank, t)
+        assert sys.tracking_state == TrackingState.RECENTLY_LOST
+
+        # revisit an already-mapped view
+        for fr in seq.frames[12:18]:
+            t += 0.05
+            sys.track_stereo(fr.left, fr.right, t)
+        assert sys.tracking_state == TrackingState.OK
+        assert sys.atlas.n_maps() == n_maps_before  # relocalized, not reset
+        # pose must be consistent with the revisited ground truth (~frame 13)
+        _, R_cw, t_cw = sys.tracker.trajectory[-1]
+        c_est = -R_cw.T @ t_cw
+        gt = seq.gt_pos[17]
+        assert np.linalg.norm(c_est - gt) < 0.25, (c_est, gt)
