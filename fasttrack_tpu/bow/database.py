@@ -55,13 +55,16 @@ class KeyFrameDatabase:
         self,
         bow: dict,
         exclude: set[int] | None = None,
-        covisible: dict[int, list[int]] | None = None,
+        covisible=None,
         n_best: int = 3,
         min_score: float = 0.0,
     ) -> list[int]:
         """Best-N candidates by covisibility-group accumulated score
         (DetectNBestCandidates semantics). `covisible` maps kf_id to its
-        covisible neighbor ids; when None, each KF is its own group."""
+        covisible neighbor ids — a dict, or a CALLABLE resolved lazily only
+        for keyframes that actually share words with the query (the whole
+        database never needs materializing); when None, each KF is its own
+        group."""
         exclude = exclude or set()
         scores = self._common_word_scores(bow, exclude)
         if not scores:
@@ -70,7 +73,12 @@ class KeyFrameDatabase:
         for kf_id, sc in scores.items():
             if sc < min_score:
                 continue
-            group = [kf_id] + (covisible.get(kf_id, []) if covisible else [])
+            if covisible is None:
+                group = [kf_id]
+            elif callable(covisible):
+                group = [kf_id] + list(covisible(kf_id) or [])
+            else:
+                group = [kf_id] + covisible.get(kf_id, [])
             acc = sc
             best_kf, best_sc = kf_id, sc
             for nid in group[1:]:

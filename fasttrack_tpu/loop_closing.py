@@ -117,15 +117,18 @@ class LoopCloser:
             return False
         bow = self._bow(kf)
 
-        # 1) candidates excluding the covisible neighborhood
+        # 1) candidates excluding the covisible neighborhood; the
+        # covisibility grouping resolves LAZILY per scored candidate (the
+        # database can hold thousands of keyframes across maps — walking
+        # all of them per query was O(KFs^2) over a session)
         connected = set(kf.covisible) | {kf_id}
-        covis_map = {}
-        for k in self.db.kf_bows:
-            km_, kkf = self._find_kf(k)
-            if kkf is not None:
-                covis_map[k] = list(kkf.covisible)
+
+        def covis_of(k):
+            _, kkf = self._find_kf(k)
+            return list(kkf.covisible) if kkf is not None else []
+
         cands = self.db.detect_loop_candidates(
-            bow, kf_id, connected, covisible=covis_map, n_best=3
+            bow, kf_id, connected, covisible=covis_of, n_best=3
         )
         closed = False
         for cand_id in cands:

@@ -46,6 +46,8 @@ class Settings:
     # image
     width: int = 752
     height: int = 480
+    new_width: int = 0    # Camera.newWidth/newHeight: resize on input
+    new_height: int = 0
     fps: float = 20.0
     rgb: bool = True
     # system
@@ -80,6 +82,8 @@ def load_settings(path: str) -> Settings:
     s.camera_type = g("Camera.type", g("Camera1.type", "PinHole"))
     s.width = int(g("Camera.width", 752))
     s.height = int(g("Camera.height", 480))
+    s.new_width = int(g("Camera.newWidth", 0) or 0)
+    s.new_height = int(g("Camera.newHeight", 0) or 0)
     s.fps = float(g("Camera.fps", 20.0))
     s.rgb = bool(g("Camera.RGB", 1))
 

@@ -76,6 +76,36 @@ class System:
         self.stats = Stats()
         self.atlas = Atlas()
 
+        # Input resize (System.cc:273-284 resize branch): when the settings
+        # request a smaller working resolution, scale the intrinsics once and
+        # bilinear-resize every incoming frame.
+        self._resize_to = None
+        if settings.new_width and settings.new_height and (
+            settings.new_width != settings.width
+            or settings.new_height != settings.height
+        ):
+            sx = settings.new_width / settings.width
+            sy = settings.new_height / settings.height
+            from fasttrack_tpu.cameras.models import Camera as _Cam
+
+            def scale_cam(c):
+                if c is None:
+                    return None
+                pp = np.asarray(c.params).copy()
+                pp[0] *= sx
+                pp[1] *= sy
+                pp[2] *= sx
+                pp[3] *= sy
+                return _Cam(c.kind, jnp.asarray(pp),
+                            settings.new_width, settings.new_height)
+
+            settings.camera1 = scale_cam(settings.camera1)
+            settings.camera2 = scale_cam(settings.camera2)
+            settings.bf *= sx
+            self._resize_to = (settings.new_height, settings.new_width)
+            settings.width = settings.new_width
+            settings.height = settings.new_height
+
         # Stereo rectification at startup (Settings::precomputeRectificationMaps,
         # src/Settings.cc; applied per frame like System.cc:273-284): when the
         # rig is distorted pinhole with a known extrinsic, precompute remap
@@ -202,6 +232,9 @@ class System:
             raise RuntimeError("track_stereo called on non-stereo sensor config")
         if imu:
             self.tracker_grab_imu(imu)
+        if self._resize_to is not None:
+            img_left = self._resize_input(img_left)
+            img_right = self._resize_input(img_right)
         if self._rect is not None:
             from fasttrack_tpu.cameras.rectify import remap_bilinear
 
@@ -213,11 +246,25 @@ class System:
             )
         return self.tracker.track_stereo(img_left, img_right, timestamp)
 
+    def _resize_input(self, img):
+        """Bilinear resize to the configured working resolution."""
+        h, w = self._resize_to
+        img = np.asarray(img)
+        ys = (np.arange(h) + 0.5) * img.shape[0] / h - 0.5
+        xs = (np.arange(w) + 0.5) * img.shape[1] / w - 0.5
+        from fasttrack_tpu.cameras.rectify import remap_bilinear
+
+        mx, my = np.meshgrid(xs.astype(np.float32), ys.astype(np.float32))
+        return remap_bilinear(img, mx, my)
+
     def track_rgbd(self, img, depth_map, timestamp: float, imu=None):
         if self.sensor not in (Sensor.RGBD, Sensor.IMU_RGBD):
             raise RuntimeError("track_rgbd called on non-RGBD sensor config")
         if imu:
             self.tracker_grab_imu(imu)
+        if self._resize_to is not None:
+            img = self._resize_input(img)
+            depth_map = self._resize_input(depth_map)
         return self.tracker.track_rgbd(img, depth_map, timestamp)
 
     def track_monocular(self, img, timestamp: float, imu=None):
@@ -225,6 +272,8 @@ class System:
             raise RuntimeError("track_monocular called on non-mono sensor config")
         if imu:
             self.tracker_grab_imu(imu)
+        if self._resize_to is not None:
+            img = self._resize_input(img)
         return self.tracker.track_monocular(img, timestamp)
 
     def tracker_grab_imu(self, imu_samples):

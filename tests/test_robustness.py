@@ -200,3 +200,27 @@ class TestViewer:
         assert fr.shape[2] == 3 and fr.shape[0] == 240
         mp = np.asarray(Image.open(map_png))
         assert mp.ndim == 3 and mp.shape[2] == 3
+
+
+class TestInputResize:
+    def test_settings_resize_scales_intrinsics_and_frames(self, small_seq):
+        """System.cc:273-284 resize branch: Camera.newWidth/newHeight scale
+        the intrinsics once and every frame on entry; tracking still works."""
+        from fasttrack_tpu.settings import Settings
+        from fasttrack_tpu.system import Sensor, System
+
+        s = Settings()
+        s.camera1 = make_pinhole(160.0, 160.0, 160.0, 120.0, 320, 240)
+        s.width, s.height = 320, 240
+        s.new_width, s.new_height = 160, 120
+        s.bf = 160.0 * 0.2
+        s.baseline = 0.2
+        s.n_features = 256
+        s.n_levels = 3
+        sys_ = System(s, Sensor.STEREO, vocabulary=False)
+        p = np.asarray(sys_.tracker.camera.params)
+        assert abs(p[0] - 80.0) < 1e-6 and abs(p[2] - 80.0) < 1e-6
+        assert sys_.tracker.cfg.width == 160 and sys_.tracker.cfg.height == 120
+        for t, l, r in small_seq[:6]:
+            sys_.track_stereo(l, r, t)
+        assert sys_.tracker.state == TrackingState.OK
