@@ -110,6 +110,8 @@ class Tracker:
         self.use_imu = imu_calib is not None
         self.imu_queue: list = []             # (t, acc(3), gyro(3)) pending
         self.pre_from_kf = None               # Preintegrated since last KF
+        self.pre_from_frame = None            # Preintegrated since last FRAME
+        self._last_map_change = -1            # map.change_index snapshot
         self.last_imu_time: float | None = None
         self.bias = (np.zeros(3), np.zeros(3))  # (bg, ba) current estimate
         self.v_w = np.zeros(3)                # current world velocity (body)
@@ -226,10 +228,13 @@ class Tracker:
 
         take = [s for s in self.imu_queue if s[0] <= timestamp]
         self.imu_queue = [s for s in self.imu_queue if s[0] > timestamp]
+        b0 = ImuBias(jnp.asarray(self.bias[0], jnp.float32),
+                     jnp.asarray(self.bias[1], jnp.float32))
         if self.pre_from_kf is None:
-            b0 = ImuBias(jnp.asarray(self.bias[0], jnp.float32),
-                         jnp.asarray(self.bias[1], jnp.float32))
             self.pre_from_kf = Preintegrated.identity(b0)
+        # frame-to-frame accumulation restarts every frame (feeds the
+        # LastFrame-anchored VI pose optimization, Optimizer.cc:4875)
+        self.pre_from_frame = Preintegrated.identity(b0)
         if not take:
             return
         t_prev = self.last_imu_time
@@ -255,9 +260,12 @@ class Tracker:
             a[:n] = np.asarray(accs[chunk.start:chunk.stop], np.float32)
             g[:n] = np.asarray(gyrs[chunk.start:chunk.stop], np.float32)
             h[:n] = np.asarray(dts[chunk.start:chunk.stop], np.float32)
+            a_d, g_d, h_d = jnp.asarray(a), jnp.asarray(g), jnp.asarray(h)
             self.pre_from_kf = integrate_measurements(
-                self.pre_from_kf, jnp.asarray(a), jnp.asarray(g), jnp.asarray(h),
-                self._device_calib(),
+                self.pre_from_kf, a_d, g_d, h_d, self._device_calib(),
+            )
+            self.pre_from_frame = integrate_measurements(
+                self.pre_from_frame, a_d, g_d, h_d, self._device_calib(),
             )
 
     def _body_from_cam(self, R_cw, t_cw):
@@ -937,14 +945,35 @@ class Tracker:
     def _optimize_frame_pose_inertial(
         self, frame, R0, t0, Xw, ok, min_inliers
     ) -> bool:
-        """Motion-only VI optimization anchored at the last keyframe
-        (Optimizer::PoseInertialOptimizationLastKeyFrame, Optimizer.cc:4491)."""
+        """Motion-only VI optimization. Anchor selection mirrors the
+        reference (Tracking.cc:3080-3106): when the map changed since the
+        previous frame, anchor on the last KEYFRAME
+        (Optimizer::PoseInertialOptimizationLastKeyFrame, Optimizer.cc:4491);
+        otherwise anchor on the last FRAME with the frame-to-frame
+        preintegration (PoseInertialOptimizationLastFrame, Optimizer.cc:4875
+        — the reference softens the anchor with a ConstraintPoseImu prior;
+        here the anchor state is held fixed, a tight prior)."""
         from fasttrack_tpu.optim.inertial import (
             BodyState, pose_inertial_optimize,
         )
 
-        R1, p1, v1 = self.last_kf_state
+        m_now = self.atlas.current
+        lf = self.last_frame
+        map_updated = m_now.change_index != self._last_map_change
+        self._last_map_change = m_now.change_index
+        use_frame_anchor = (
+            not map_updated
+            and lf is not None and lf.R_cw is not None and lf.v_w is not None
+            and self.pre_from_frame is not None
+        )
         kf_bg, kf_ba = self.bias
+        if use_frame_anchor:
+            R1, p1 = self._body_from_cam(lf.R_cw, lf.t_cw)
+            v1 = lf.v_w
+            pre_anchor = self.pre_from_frame
+        else:
+            R1, p1, v1 = self.last_kf_state
+            pre_anchor = self.pre_from_kf
         prev = BodyState(
             jnp.asarray(R1, jnp.float32), jnp.asarray(p1, jnp.float32),
             jnp.asarray(v1, jnp.float32), jnp.asarray(kf_bg, jnp.float32),
@@ -963,7 +992,7 @@ class Tracker:
             self.camera, jnp.float32(self.bf),
             jnp.asarray(np.asarray(self.imu_calib.R_bc), jnp.float32),
             jnp.asarray(np.asarray(self.imu_calib.t_bc), jnp.float32),
-            prev, self.pre_from_kf, s0,
+            prev, pre_anchor, s0,
             jnp.asarray(Xw), jnp.asarray(frame.kp_uv),
             jnp.asarray(frame.u_right),
             jnp.asarray(self._inv_sigma2[frame.kp_level]),
