@@ -136,4 +136,9 @@ def remap_bilinear(img: np.ndarray, mx: np.ndarray, my: np.ndarray) -> np.ndarra
         + v10 * (1 - fx_) * fy_ + v11 * fx_ * fy_
     )
     out = np.where(valid, out, 0.0)
-    return np.clip(out, 0, 255).astype(img.dtype)
+    # Clamp only integer inputs, to the dtype's own range (cv::remap does not
+    # clamp floats; a blanket [0,255] clip corrupts e.g. uint16 mm depth maps).
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        out = np.clip(out, info.min, info.max)
+    return out.astype(img.dtype)

@@ -198,7 +198,9 @@ class LoopCloser:
         match set by projecting each keyframe's map points into the OTHER
         view through the solved Sim3 and window-matching there. Returns
         additional (X1, X2, uv1, uv2, s1, s2) rows for a refined solve."""
-        from fasttrack_tpu.cameras.host import in_image_np
+        from fasttrack_tpu.cameras.host import (
+            frustum_depth_ok, in_image_np, project_np,
+        )
         from fasttrack_tpu.ops.host_kernels import host_search_by_projection
 
         s, R, t = res.s, res.R, res.t
@@ -216,14 +218,22 @@ class LoopCloser:
             # src world -> src cam -> (Sim3) -> dst cam -> dst pixels
             Xs = pos @ src_kf.R_cw.T + src_kf.t_cw
             Xd = sc * (Xs @ Rc.T) + tc
-            z = Xd[:, 2]
-            ok = z > 0.1
-            uv = np.stack([
-                self.K[0, 0] * Xd[:, 0] / np.maximum(z, 1e-9) + self.K[0, 2],
-                self.K[1, 1] * Xd[:, 1] / np.maximum(z, 1e-9) + self.K[1, 2],
-            ], -1)
-            ok &= in_image_np(self.camera, uv) if self.camera is not None else (
-                (uv[:, 0] >= 0) & (uv[:, 1] >= 0))
+            if self.camera is not None:
+                # camera-model-aware projection (pinhole or KB8 fisheye;
+                # GeometricCamera::project in OptimizableTypes edges)
+                uv = project_np(self.camera, Xd)
+                ok = frustum_depth_ok(self.camera, Xd) & in_image_np(self.camera, uv)
+            else:
+                z = Xd[:, 2]
+                ok = z > 0.1
+                uv = np.stack([
+                    self.K[0, 0] * Xd[:, 0] / np.maximum(z, 1e-9) + self.K[0, 2],
+                    self.K[1, 1] * Xd[:, 1] / np.maximum(z, 1e-9) + self.K[1, 2],
+                ], -1)
+                # no Camera => estimate bounds from the principal point
+                w_est, h_est = 2.0 * self.K[0, 2], 2.0 * self.K[1, 2]
+                ok &= (uv[:, 0] >= 0) & (uv[:, 0] < w_est) \
+                    & (uv[:, 1] >= 0) & (uv[:, 1] < h_est)
             idx, _, hit = host_search_by_projection(
                 uv.astype(np.float32), packed,
                 np.full(len(mids), 7.5, np.float32),
@@ -235,10 +245,13 @@ class LoopCloser:
             )
             return {int(mids[q]): int(idx[q]) for q in np.where(hit)[0]}
 
+        # solve_sim3 returns S12 with X1 = s R X2 + t (cand-cam -> cur-cam),
+        # so projecting cand points INTO the current image applies S12 and
+        # current points into the cand image apply S21 (ORBmatcher.cc:1556).
         S12 = (s, R, t)                       # cand-cam -> cur-cam
-        S21 = (1.0 / s, R.T, -(R.T @ t) / s)
-        fwd = project_and_match(cand, m2, kf, S21)   # cand pts -> cur image
-        bwd = project_and_match(kf, m1, cand, S12)   # cur pts -> cand image
+        S21 = sim3_inv(S12)
+        fwd = project_and_match(cand, m2, kf, S12)   # cand pts -> cur image
+        bwd = project_and_match(kf, m1, cand, S21)   # cur pts -> cand image
         X1, X2, uv1, uv2, s1, s2 = [], [], [], [], [], []
 
         def add_row(mp1, fi1, mp2, fi2):

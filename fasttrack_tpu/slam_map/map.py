@@ -239,6 +239,24 @@ class Map:
         kf.bad = True
         self.keyframes.pop(kid, None)
 
+    def clear(self):
+        """Wipe the map's content (Map::clear): unbind every MapPoint from
+        the packed PointStore (releasing its row and the mid->row entry) so
+        resets don't leak alive=True ghost rows that keep resolving via
+        rows_for and keep rendering in the MapDrawer."""
+        for mid in list(self.mappoints):
+            mp = self.mappoints.pop(mid)
+            row = mp.row
+            mp._unbind()
+            mp.bad = True
+            if row >= 0:
+                self.store.release_row(row)
+            if 0 <= mid < len(self._mid2row):
+                self._mid2row[mid] = -1
+        self.keyframes.clear()
+        self.reference_mappoint_ids.clear()
+        self.info_changed()
+
     def n_keyframes(self) -> int:
         return len(self.keyframes)
 

@@ -730,8 +730,7 @@ class Tracker:
         """Tracking::ResetActiveMap: wipe the current map and reinitialize
         (used for backwards timestamp jumps and the bad-IMU reset)."""
         m = self.atlas.current
-        m.keyframes.clear()
-        m.mappoints.clear()
+        m.clear()
         m.imu_initialized = False
         self.state = TrackingState.NOT_INITIALIZED
         self.ref_kf_id = None
@@ -752,8 +751,7 @@ class Tracker:
             self._reset_active_map()
             return
         if m.n_keyframes() <= 10:
-            m.keyframes.clear()
-            m.mappoints.clear()
+            m.clear()
         self.atlas.create_new_map()
         self.state = TrackingState.NOT_INITIALIZED
         self.ref_kf_id = None

@@ -177,6 +177,80 @@ class TestAtlasMerge:
         assert lc.n_maps_merged == 1
 
 
+class TestSearchBySim3:
+    def _orbit_kf(self, atlas, m, pts_w, descs, packed, angle, mids):
+        """KF on a radius-7 orbit around the cloud center, looking at it."""
+        c0 = np.array([0.0, 0.0, 7.0])
+        cam_pos = c0 + 7.0 * np.array([np.sin(angle), 0.0, -np.cos(angle)])
+        z = c0 - cam_pos
+        z = z / np.linalg.norm(z)
+        x = np.cross([0.0, 1.0, 0.0], z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        R_cw = np.stack([x, y, z], -1).T
+        t_cw = -R_cw @ cam_pos
+        Xc = pts_w @ R_cw.T + t_cw
+        uv = proj(Xc)
+        vis = (
+            (Xc[:, 2] > 1.0) & (uv[:, 0] > 10) & (uv[:, 0] < W - 10)
+            & (uv[:, 1] > 10) & (uv[:, 1] < H - 10)
+        )
+        idxs = np.where(vis)[0][:256]
+        n = len(idxs)
+        kid = atlas.next_kf_id()
+        kf = KeyFrame(
+            kid, kid, float(kid), R_cw, t_cw, uv[idxs].astype(np.float32),
+            np.zeros(n, np.int32), np.zeros(n, np.float32),
+            packed[idxs], descs[idxs].astype(np.int8),
+            np.full(n, -1.0, np.float32), np.full(n, -1.0, np.float32),
+            np.ones(n, bool),
+        )
+        m.add_keyframe(kf)
+        for fi, pi in enumerate(idxs):
+            pid = int(pi)
+            if pid not in mids:
+                mp = MapPoint(atlas.next_mp_id(), pts_w[pid], kid, kid)
+                mp.desc_signed = descs[pid].astype(np.int8)
+                mp.desc_packed = packed[pid]
+                m.add_mappoint(mp)
+                mids[pid] = mp
+            mids[pid].add_observation(kid, fi)
+            kf.mp_ids[fi] = mids[pid].mid
+        return kf
+
+    def test_expansion_under_large_sim3(self, rng):
+        """SearchBySim3 guided expansion must keep finding matches when the
+        solved camera-to-camera Sim3 is LARGE (0.5 rad orbit, ~3.5-unit
+        baseline): regression for the inverted-transform bug where guided
+        projections only landed inside the window for near-identity loops."""
+        from fasttrack_tpu.optim.sim3_solver import solve_sim3
+
+        atlas = Atlas()
+        m = atlas.current
+        pts_w = np.stack(
+            [rng.uniform(-3, 3, 400), rng.uniform(-2, 2, 400),
+             rng.uniform(5, 9, 400)], -1,
+        )
+        bits = rng.integers(0, 2, size=(400, 256)).astype(np.uint8)
+        descs = (2 * bits.astype(np.int8) - 1)
+        packed = np.packbits(bits, axis=1)
+        mids: dict = {}
+        cand = self._orbit_kf(atlas, m, pts_w, descs, packed, 0.0, mids)
+        kf = self._orbit_kf(atlas, m, pts_w, descs, packed, 0.5, mids)
+        lc = LoopCloser(atlas, None, np.asarray(CAM.K()), camera=CAM,
+                        bf=1.0, run_gba=False)
+        mp = lc._matched_points(kf, m, cand, m)
+        assert mp is not None
+        X1, X2, uv1, uv2, s1, s2, _, _ = mp
+        res = solve_sim3(X1, X2, uv1, uv2, lc.K, lc.K, s1, s2,
+                         fix_scale=True, min_inliers=20)
+        assert res.success
+        # the relative Sim3 really is large
+        assert np.linalg.norm(res.t) > 1.0
+        extra = lc._search_by_sim3(kf, m, cand, m, res)
+        assert extra is not None and len(extra[0]) >= 20
+
+
 class TestLoopClosureE2E:
     def test_detects_and_corrects_loop(self, rng):
         """Full loop-closing path through process_keyframe: BoW candidates

@@ -105,6 +105,48 @@ class TestSearchByProjection:
         assert kept[5:].all()
         assert not kept[:5].any()
 
+    def test_topk_parity_repetitive_texture(self, rng):
+        """The TOP_K=64 candidate shortlist vs the exact masked argmin on a
+        repetitive-texture frame (many low-Hamming out-of-window keypoints —
+        the shortlist's worst case). Guards the approximation documented in
+        the module docstring: agreement must stay >99%."""
+        N, M, R = 1024, 256, 8.0
+        codebook = rng.integers(0, 2, size=(8, 256)).astype(np.uint8)
+        bits = codebook[rng.integers(0, 8, size=N)]
+        flip = rng.random((N, 256)) < 0.02  # ~5 bits noise per descriptor
+        bits = bits ^ flip.astype(np.uint8)
+        kp_uv = rng.uniform(0, 640, size=(N, 2)).astype(np.float32)
+        kp_level = rng.integers(0, 4, size=N).astype(np.int32)
+        q_sel = rng.choice(N, M, replace=False)
+        q_uv = kp_uv[q_sel] + rng.uniform(-4, 4, size=(M, 2)).astype(np.float32)
+        q_bits = bits[q_sel] ^ (rng.random((M, 256)) < 0.02).astype(np.uint8)
+        lmin = np.maximum(kp_level[q_sel] - 1, 0)
+        lmax = np.minimum(kp_level[q_sel] + 1, 3)
+
+        res = search_by_projection(
+            jnp.asarray(q_uv[:, 0]), jnp.asarray(q_uv[:, 1]),
+            signed_descriptors(jnp.asarray(q_bits)), jnp.full(M, R),
+            jnp.asarray(lmin), jnp.asarray(lmax), jnp.ones(M, bool),
+            jnp.asarray(kp_uv[:, 0]), jnp.asarray(kp_uv[:, 1]),
+            signed_descriptors(jnp.asarray(bits)), jnp.asarray(kp_level),
+            jnp.ones(N, bool),
+        )
+        # exact oracle: masked argmin over the full (M, N) Hamming matrix
+        ham = (q_bits[:, None, :] != bits[None, :, :]).sum(-1)  # (M, N)
+        in_win = (
+            (np.abs(kp_uv[None, :, 0] - q_uv[:, None, 0]) <= R)
+            & (np.abs(kp_uv[None, :, 1] - q_uv[:, None, 1]) <= R)
+            & (kp_level[None, :] >= lmin[:, None])
+            & (kp_level[None, :] <= lmax[:, None])
+        )
+        ham_m = np.where(in_win, ham, 10**6)
+        oracle_idx = ham_m.argmin(1)
+        oracle_ok = ham_m.min(1) <= 100
+        got_idx = np.asarray(res.idx)
+        got_ok = np.asarray(res.ok)
+        agree = (got_ok == oracle_ok) & (~oracle_ok | (got_idx == oracle_idx))
+        assert agree.mean() > 0.99, f"top-K parity {agree.mean():.3f}"
+
     def test_resolve_duplicates(self):
         idx = jnp.asarray([3, 3, 7], jnp.int32)
         dist = jnp.asarray([10, 4, 9], jnp.int32)

@@ -128,3 +128,29 @@ class TestRectification:
         out = remap_bilinear(img, maps.map_lx, maps.map_ly)
         interior = out[10:-10, 10:-10]
         assert (interior == 77).mean() > 0.99
+
+
+class TestRemapDtypes:
+    def test_no_255_clamp_for_depth(self):
+        """uint16 mm depth and float depth must pass through remap without the
+        uint8 [0,255] clamp (regression: System._resize_input corrupted far
+        geometry on RGBD depth maps)."""
+        h, w = 32, 32
+        my, mx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        depth16 = np.full((h, w), 5000, np.uint16)  # 5 m in mm
+        out16 = remap_bilinear(depth16, mx, my)
+        assert out16.dtype == np.uint16
+        assert out16[:-1, :-1].max() == 5000
+        depthf = np.full((h, w), 7.25, np.float32) * 100.0
+        outf = remap_bilinear(depthf, mx, my)
+        assert outf.dtype == np.float32
+        np.testing.assert_allclose(outf[:-1, :-1], 725.0, rtol=1e-5)
+
+    def test_uint8_still_clamped(self):
+        h, w = 8, 8
+        my, mx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        img = np.full((h, w), 250, np.uint8)
+        out = remap_bilinear(img, mx, my)
+        assert out.dtype == np.uint8
