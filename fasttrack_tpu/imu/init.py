@@ -47,6 +47,7 @@ class ImuInitResult(NamedTuple):
     scale: float
     velocities: np.ndarray  # (K, 3) world-frame velocities per keyframe
     R_gw: np.ndarray        # rotation aligning world so gravity -> (0,0,-G)
+    ba: np.ndarray = np.zeros(3)  # accelerometer bias (Optimizer.cc:3227)
 
 
 def estimate_gyro_bias(R_wb: list, preints: list, iters: int = 5) -> np.ndarray:
@@ -81,11 +82,15 @@ def initialize_imu(
     p_w: list,             # K body positions in world
     preints: list,         # K-1 Preintegrated between consecutive KFs
     mono_scale: bool = False,
+    estimate_ba: bool = True,
+    prior_a: float = 1.0,  # Tikhonov weight pulling ba -> 0 (the reference's
+                           # EdgePriorAcc, Optimizer.cc:3227; ba is weakly
+                           # observable over short windows)
 ) -> ImuInitResult:
     """Full init. With bg from estimate_gyro_bias, solve the linear system
-    for [v_0..v_{K-1}, g_w, (s)] from:
-        p_{i+1} = p_i + v_i dt + 0.5 g dt^2 + R_i dP_i
-        v_{i+1} = v_i + g dt + R_i dV_i
+    for [v_0..v_{K-1}, g_w, ba, (s)] from:
+        p_{i+1} = p_i + v_i dt + 0.5 g dt^2 + R_i (dP_i + JPa_i ba)
+        v_{i+1} = v_i + g dt + R_i (dV_i + JVa_i ba)
     (positions scaled by s when mono_scale).
     """
     K = len(R_wb)
@@ -94,24 +99,34 @@ def initialize_imu(
                              np.zeros((K, 3)), np.eye(3))
     bg = estimate_gyro_bias(R_wb, preints)
 
-    # bias-corrected deltas
+    # bias-corrected deltas (gyro part; the acc part stays an unknown)
     def corr(pre):
         dbg = bg - np.asarray(pre.b0.bg, np.float64)
         dR = np.asarray(pre.dR, np.float64) @ _so3_exp(np.asarray(pre.JRg, np.float64) @ dbg)
         dV = np.asarray(pre.dV, np.float64) + np.asarray(pre.JVg, np.float64) @ dbg
         dP = np.asarray(pre.dP, np.float64) + np.asarray(pre.JPg, np.float64) @ dbg
-        return float(pre.dT), dR, dV, dP
+        JVa = np.asarray(pre.JVa, np.float64)
+        JPa = np.asarray(pre.JPa, np.float64)
+        # the unknown is absolute ba; shift by the linearization point
+        ba0 = np.asarray(pre.b0.ba, np.float64)
+        dV = dV - JVa @ ba0
+        dP = dP - JPa @ ba0
+        return float(pre.dT), dR, dV, dP, JVa, JPa
 
-    n_unk = 3 * K + 3 + (1 if mono_scale else 0)
+    nb = 3 if estimate_ba else 0
+    n_unk = 3 * K + 3 + nb + (1 if mono_scale else 0)
+    ca = 3 * K + 3  # ba column start
     rows = []
     rhs = []
     for i in range(K - 1):
-        dt, dR, dV, dP = corr(preints[i])
+        dt, dR, dV, dP, JVa, JPa = corr(preints[i])
         Ri = R_wb[i]
         # position equation (3 rows)
         row_p = np.zeros((3, n_unk))
         row_p[:, 3 * i:3 * i + 3] = np.eye(3) * dt          # v_i
         row_p[:, 3 * K:3 * K + 3] = 0.5 * np.eye(3) * dt**2  # g
+        if estimate_ba:
+            row_p[:, ca:ca + 3] = Ri @ JPa
         if mono_scale:
             row_p[:, -1] = -(p_w[i + 1] - p_w[i])
             rhs_p = -(Ri @ dP)
@@ -124,16 +139,24 @@ def initialize_imu(
         row_v[:, 3 * i:3 * i + 3] = -np.eye(3)
         row_v[:, 3 * (i + 1):3 * (i + 1) + 3] = np.eye(3)
         row_v[:, 3 * K:3 * K + 3] = -np.eye(3) * dt
+        if estimate_ba:
+            row_v[:, ca:ca + 3] = -Ri @ JVa
         rows.append(row_v)
         rhs.append(Ri @ dV)
+    if estimate_ba and prior_a > 0:
+        row_b = np.zeros((3, n_unk))
+        row_b[:, ca:ca + 3] = np.sqrt(prior_a) * np.eye(3)
+        rows.append(row_b)
+        rhs.append(np.zeros(3))
     A = np.concatenate(rows)
     y = np.concatenate(rhs)
     sol, *_ = np.linalg.lstsq(A, y, rcond=None)
     vels = sol[:3 * K].reshape(K, 3)
     g = sol[3 * K:3 * K + 3]
+    ba = sol[ca:ca + 3] if estimate_ba else np.zeros(3)
     scale = float(sol[-1]) if mono_scale else 1.0
     if mono_scale and scale <= 1e-3:
-        return ImuInitResult(False, bg, g, scale, vels, np.eye(3))
+        return ImuInitResult(False, bg, g, scale, vels, np.eye(3), ba)
 
     # Rotation taking current-world gravity to (0, 0, -G).
     g_norm = np.linalg.norm(g)
@@ -149,4 +172,4 @@ def initialize_imu(
         angle = np.arccos(np.clip(c, -1, 1))
         R_gw = _so3_exp(v / np.linalg.norm(v) * angle)
     ok = abs(g_norm - GRAVITY_VALUE) < 2.0  # sanity: within 2 m/s^2
-    return ImuInitResult(bool(ok), bg, g, scale, vels, R_gw)
+    return ImuInitResult(bool(ok), bg, g, scale, vels, R_gw, ba)

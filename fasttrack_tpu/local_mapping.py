@@ -457,7 +457,7 @@ class LocalMapper:
         m.apply_scaled_rotation(res.R_gw, scale)
         for i, k in enumerate(chain):
             k.velocity = scale * (res.R_gw @ res.velocities[i])
-            k.imu_bias = (res.bg.copy(), np.zeros(3))
+            k.imu_bias = (res.bg.copy(), res.ba.copy())
         m.imu_initialized = True
         self.imu_init_time = kf.timestamp
         m.info_changed()
@@ -465,7 +465,7 @@ class LocalMapper:
             self.tracker, "last_kf_id", None
         ):
             t = self.tracker
-            t.bias = (res.bg.copy(), np.zeros(3))
+            t.bias = (res.bg.copy(), res.ba.copy())
             last = chain[-1]
             R_wb_l, p_w_l = _body_from_cam_np(last.R_cw, last.t_cw, R_bc, t_bc)
             t.last_kf_state = (R_wb_l, p_w_l, np.asarray(last.velocity))
@@ -520,7 +520,8 @@ class LocalMapper:
         chain = self._temporal_chain(kf, max_len=window + 1)
         self._inertial_window_ba(chain, window)
 
-    def _full_inertial_ba(self, kf: KeyFrame, window: int = 8):
+    def _full_inertial_ba(self, kf: KeyFrame, window: int = 8,
+                          should_abort=None):
         """Optimizer::FullInertialBA (Optimizer.cc:392), staged from
         LocalMapping.cc:181-242: polish the WHOLE temporal chain after IMU
         initialization. TPU-shape-first: overlapping fixed-shape inertial
@@ -533,9 +534,41 @@ class LocalMapper:
             return
         step = max(window - 1, 1)
         for start in range(0, len(chain) - 2, step):
+            if should_abort is not None and should_abort():
+                return
             seg = chain[start:start + window + 1]
             if len(seg) >= 3:
                 self._inertial_window_ba(seg, window)
+
+    def full_inertial_ba_converged(self, kf: KeyFrame, window: int = 8,
+                                   max_rounds: int = 4, tol: float = 1e-4,
+                                   should_abort=None) -> int:
+        """Iterate the forward window sweep until the chain stops moving —
+        the swept approximation of the reference's single JOINT FullInertialBA
+        solve (Optimizer.cc:392): one forward pass only propagates the loop
+        correction a window at a time, so repeat until the max pose delta
+        across the chain falls under ``tol`` (or ``max_rounds``). Used as the
+        inertial branch of the post-loop global BA (LoopClosing.cc:2275-2280).
+        Returns the number of sweep rounds run."""
+        rounds = 0
+        for _ in range(max_rounds):
+            if should_abort is not None and should_abort():
+                break
+            chain = self._temporal_chain(kf, max_len=100000)
+            before = {k.kid: (k.R_cw.copy(), k.t_cw.copy()) for k in chain}
+            self._full_inertial_ba(kf, window, should_abort=should_abort)
+            rounds += 1
+            delta = 0.0
+            for k in chain:
+                R0, t0 = before[k.kid]
+                delta = max(
+                    delta,
+                    float(np.abs(k.t_cw - t0).max()),
+                    float(np.abs(k.R_cw - R0).max()),
+                )
+            if delta < tol:
+                break
+        return rounds
 
     def _inertial_window_ba(self, chain, window: int = 8):
         import jax.numpy as jnp

@@ -24,7 +24,12 @@ from fasttrack_tpu.bow import KeyFrameDatabase, Vocabulary
 from fasttrack_tpu.bow.vocabulary import quantize
 from fasttrack_tpu.nputils import orthonormalize
 from fasttrack_tpu.ops.stereo_match import match_fisheye
-from fasttrack_tpu.optim.pose_graph import optimize_essential_graph, sim3_inv, sim3_mul
+from fasttrack_tpu.optim.pose_graph import (
+    optimize_essential_graph,
+    optimize_essential_graph_4dof,
+    sim3_inv,
+    sim3_mul,
+)
 from fasttrack_tpu.optim.sim3_solver import solve_sim3
 from fasttrack_tpu.slam_map import Atlas, KeyFrame
 
@@ -92,6 +97,43 @@ class LoopCloser:
                 self.process_keyframe(kid)
 
     # ------------------------------------------------------------------ core
+    @staticmethod
+    def _transform_velocity(g: KeyFrame, S):
+        """Rotate/scale a keyframe's world-frame velocity through a
+        world-side Sim3 correction x' = s R x + t (the reference's corrected-
+        Sim3 velocity update, LoopClosing.cc:1053-1063 / :1595-1610). Biases
+        are body-frame quantities and are untouched by world transforms."""
+        if g.velocity is not None:
+            sc, Rc, _ = S
+            g.velocity = sc * (Rc @ np.asarray(g.velocity, np.float64))
+
+    def _optimize_graph(self, m, poses, edges, fixed):
+        """Pick the gravity-preserving 4DoF graph for IMU-initialized maps
+        (LoopClosing.cc:295-300 -> Optimizer.cc:5292), the Sim3/SE3 graph
+        otherwise."""
+        if m.is_inertial and m.imu_initialized:
+            return optimize_essential_graph_4dof(poses, edges, fixed)
+        return optimize_essential_graph(
+            poses, edges, fixed, fix_scale=self.fix_scale, iterations=10
+        )
+
+    def _refresh_tracker_anchor(self, m):
+        """Re-derive the tracker's cached last-KF body state from the
+        corrected keyframe (the reference's mbMapUpdated re-anchor path:
+        PredictStateIMU must run on the CORRECTED pose/velocity)."""
+        tracker = getattr(self, "tracker", None)
+        if tracker is None or not getattr(tracker, "use_imu", False):
+            return
+        kid = getattr(tracker, "last_kf_id", None)
+        kf = m.keyframes.get(kid) if kid is not None else None
+        if kf is None or kf.velocity is None:
+            return
+        R_wb, p_w = tracker._body_from_cam(kf.R_cw, kf.t_cw)
+        tracker.last_kf_state = (
+            R_wb, p_w, np.asarray(kf.velocity, np.float64)
+        )
+        tracker.v_w = np.asarray(kf.velocity, np.float64)
+
     def _bow(self, kf: KeyFrame) -> dict:
         if kf.bow_vec is None:
             _, kf.bow_vec = quantize(self.voc, kf.desc_signed, kf.valid)
@@ -364,6 +406,8 @@ class LoopCloser:
         for kid, (sg, Rg, tg) in corrected.items():
             g = m.keyframes[kid]
             g.set_pose(orthonormalize(Rg), tg / sg)
+            # world-side correction `corr` rotates the velocity too
+            self._transform_velocity(g, corr)
 
         kf.loop_edges.add(cand.kid)
         cand.loop_edges.add(kf.kid)
@@ -398,15 +442,18 @@ class LoopCloser:
         # S_cur_cand from the solver (stronger than current graph values)
 
         fixed = {cand.kid}
-        optimized = optimize_essential_graph(
-            poses, edges, fixed, fix_scale=self.fix_scale, iterations=10
-        )
-        # write back: poses and points (points move with their ref KF)
+        optimized = self._optimize_graph(m, poses, edges, fixed)
+        # write back: poses and points (points move with their ref KF);
+        # velocities rotate through each KF's own world-side correction
+        # W_k = S_new^-1 o S_old (x' = W_k x, matching the point update).
         old_poses = {kid: poses[kid] for kid in poses}
         for kid, (sg, Rg, tg) in optimized.items():
             g = m.keyframes.get(kid)
             if g is not None:
                 g.set_pose(orthonormalize(Rg), tg / sg)
+                self._transform_velocity(
+                    g, sim3_mul(sim3_inv(optimized[kid]), old_poses[kid])
+                )
         for mid, p in m.mappoints.items():
             if p.bad:
                 continue
@@ -445,6 +492,24 @@ class LoopCloser:
         self.n_loops_closed += 1
         self.last_loop_kf_id = kf.kid
 
+        # Bring the tracker's frame-to-frame state into the corrected world:
+        # total world-side correction of the current KF is
+        # W_total = S_final^-1 o S_orig (from S_new = S_old o W^-1).
+        tracker = getattr(self, "tracker", None)
+        if tracker is not None and tracker.last_frame is not None \
+                and tracker.last_frame.R_cw is not None:
+            S_final = (1.0, kf.R_cw.copy(), kf.t_cw.copy())
+            W_total = sim3_mul(sim3_inv(S_final), T1w)
+            lf = tracker.last_frame
+            sg, Rg, tg = sim3_mul((1.0, lf.R_cw, lf.t_cw), sim3_inv(W_total))
+            lf.R_cw = orthonormalize(Rg)
+            lf.t_cw = tg / sg
+            if lf.v_w is not None:
+                sw_, Rw_, _ = W_total
+                lf.v_w = sw_ * (Rw_ @ np.asarray(lf.v_w, np.float64))
+            tracker.velocity = None  # re-estimate in the corrected frame
+        self._refresh_tracker_anchor(m)
+
         # Global BA (RunGlobalBundleAdjustment, LoopClosing.cc:2268):
         # relax the whole map after the weld; interruptible by a new KF.
         if self.run_gba and self.camera is not None:
@@ -455,16 +520,33 @@ class LoopCloser:
         reference spawns a GBA thread and merges results back under the map
         lock; here the loop-closer thread already holds the map lock, and the
         sweep polls `abort_gba` between fixed-shape blocks (the mbStopGBA
-        protocol) so a new keyframe interrupts it."""
-        from fasttrack_tpu.ba_assembly import global_bundle_adjustment
+        protocol) so a new keyframe interrupts it.
 
+        Inertial maps get FullInertialBA instead of visual-only GBA
+        (RunGlobalBundleAdjustment's branch, LoopClosing.cc:2275-2280 ->
+        Optimizer.cc:392): the convergent window sweep jointly polishes
+        poses, velocities and biases along the temporal chain."""
         self.abort_gba = False
         m = self.atlas.current
-        global_bundle_adjustment(
-            m, self.camera, self.bf, self.inv_sigma2,
-            fixed_kf_ids=fixed_kf_ids,
-            should_abort=lambda: self.abort_gba,
-        )
+        mapper = getattr(self, "local_mapper", None)
+        if (
+            m.is_inertial and m.imu_initialized
+            and mapper is not None and mapper.imu_calib is not None
+            and m.keyframes
+        ):
+            latest = m.keyframes[max(m.keyframes)]
+            mapper.full_inertial_ba_converged(
+                latest, should_abort=lambda: self.abort_gba
+            )
+            self._refresh_tracker_anchor(m)
+        else:
+            from fasttrack_tpu.ba_assembly import global_bundle_adjustment
+
+            global_bundle_adjustment(
+                m, self.camera, self.bf, self.inv_sigma2,
+                fixed_kf_ids=fixed_kf_ids,
+                should_abort=lambda: self.abort_gba,
+            )
         self.n_gba_runs += 1
 
     # ------------------------------------------------------------- map merge
@@ -496,10 +578,14 @@ class LoopCloser:
         S_w2_w1_inv = sim3_inv(S_w2_w1)
 
         with m_old.lock:
-            # migrate keyframes: T_g_w2 = T_g_w1 * S_w1_w2
+            # migrate keyframes: T_g_w2 = T_g_w1 * S_w1_w2; world-frame
+            # velocities rotate through the world-to-world Sim3
+            # (MergeLocal2's inertial pose/velocity update,
+            # LoopClosing.cc:1783,1595-1610)
             for g in list(m_new.keyframes.values()):
                 sg, Rg, tg = sim3_mul((1.0, g.R_cw, g.t_cw), S_w2_w1_inv)
                 g.set_pose(orthonormalize(Rg), tg / sg)
+                self._transform_velocity(g, S_w2_w1)
                 m_old.add_keyframe(g)
             # migrate points: X_w2 = S_w2_w1 X_w1
             for p in list(m_new.mappoints.values()):
@@ -561,13 +647,18 @@ class LoopCloser:
                     seen.add((min(kid, b), max(kid, b)))
                     Sa, Sb = poses[kid], poses[b]
                     edges.append((kid, b, sim3_mul(Sb, sim3_inv(Sa))))
-            optimized = optimize_essential_graph(
-                poses, edges, {cand.kid}, fix_scale=self.fix_scale, iterations=10
-            )
+            # inertial flags survive the weld (MergeLocal2 keeps the merged
+            # map inertial; the old map's gravity frame is the reference)
+            m_old.is_inertial = m_old.is_inertial or m_new.is_inertial
+            m_old.imu_initialized = m_old.imu_initialized or m_new.imu_initialized
+            optimized = self._optimize_graph(m_old, poses, edges, {cand.kid})
             for kid, (sg, Rg, tg) in optimized.items():
                 g = m_old.keyframes.get(kid)
                 if g is not None:
                     g.set_pose(orthonormalize(Rg), tg / sg)
+                    self._transform_velocity(
+                        g, sim3_mul(sim3_inv(optimized[kid]), poses[kid])
+                    )
             m_old.info_changed()
 
         # the old map becomes the active one; drop the emptied shell
@@ -584,7 +675,10 @@ class LoopCloser:
             sg, Rg, tg = sim3_mul((1.0, lf.R_cw, lf.t_cw), S_w2_w1_inv)
             lf.R_cw = orthonormalize(Rg)
             lf.t_cw = tg / sg
+            if lf.v_w is not None:
+                lf.v_w = sw * (Rw @ np.asarray(lf.v_w, np.float64))
             tracker.velocity = None  # re-estimate in the merged frame
+        self._refresh_tracker_anchor(m_old)
         self.n_maps_merged += 1
         if self.run_gba and self.camera is not None:
             with m_old.lock:

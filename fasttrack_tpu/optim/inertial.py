@@ -116,10 +116,22 @@ def _info_sqrt(C: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return (V * (1.0 / jnp.sqrt(w))) @ V.T  # symmetric inverse sqrt
 
 
+def _sqrtm_psd(H: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Symmetric PSD square root W with W W = H (for whitening priors)."""
+    w, V = jnp.linalg.eigh(H)
+    w = jnp.maximum(w, eps)
+    return (V * jnp.sqrt(w)) @ V.T
+
+
 class VIPoseResult(NamedTuple):
     state: BodyState
     inliers: jnp.ndarray
     n_inliers: jnp.ndarray
+    # 15x15 information of the optimized state at the solution (visual +
+    # inertial, inlier-weighted) — the ConstraintPoseImu prior carried to
+    # the next frame's LastFrame-anchored solve (Optimizer.cc:4850-4870
+    # builds mpcpi from the recovered hessian the same way).
+    H: jnp.ndarray = None
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "iters"))
@@ -244,7 +256,148 @@ def pose_inertial_optimize(
         inlier = (valid & (chi2 <= thr)).astype(dtype)
 
     inl = inlier > 0
-    return VIPoseResult(s, inl, jnp.sum(inl.astype(jnp.int32)))
+
+    # Information of the solution for the next frame's ConstraintPoseImu.
+    def res_of_dx_fin(dx):
+        sp = retract(s, dx)
+        return vis_residual(sp), in_residual(sp)
+
+    Jv_f, Ji_f = jax.jacfwd(res_of_dx_fin)(jnp.zeros(15, dtype))
+    w_fin = inlier * inv_sigma2
+    H_fin = jnp.einsum("nij,nik,n->jk", Jv_f, Jv_f, w_fin) + Ji_f.T @ Ji_f
+    return VIPoseResult(s, inl, jnp.sum(inl.astype(jnp.int32)), H_fin)
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+def pose_inertial_optimize_lastframe(
+    cam: Camera,
+    bf: jnp.ndarray,
+    R_bc: jnp.ndarray,
+    t_bc: jnp.ndarray,
+    prev0: BodyState,        # last-frame anchor state (FREE, softly held)
+    prior_H: jnp.ndarray,    # (15,15) ConstraintPoseImu information on prev
+    pre: Preintegrated,      # frame-to-frame preintegration prev -> current
+    s0: BodyState,           # initial current state
+    Xw: jnp.ndarray,
+    obs_uv: jnp.ndarray,
+    obs_ur: jnp.ndarray,
+    inv_sigma2: jnp.ndarray,
+    valid: jnp.ndarray,
+    rounds: int = 4,
+    iters: int = 10,
+) -> VIPoseResult:
+    """PoseInertialOptimizationLastFrame (Optimizer.cc:4875): joint 30-dof
+    solve over [last frame, current frame]. The last frame is FREE but held
+    by the EdgePriorPoseImu soft prior (``prior_H``, the marginal information
+    of its own optimization) instead of being clamped — anchor error relaxes
+    through the inertial edge instead of propagating rigidly."""
+    is_stereo = obs_ur >= 0
+    dtype = Xw.dtype
+
+    W_in = _info_sqrt(pre.C[:9, :9].astype(jnp.float64)).astype(dtype)
+    W_bg = _info_sqrt(pre.C[9:12, 9:12].astype(jnp.float64)).astype(dtype)
+    W_ba = _info_sqrt(pre.C[12:15, 12:15].astype(jnp.float64)).astype(dtype)
+    W_prior = _sqrtm_psd(prior_H.astype(jnp.float64)).astype(dtype)
+
+    def state_diff(s, s_ref):
+        dphi = so3_log(_mm(jnp.swapaxes(s_ref.R_wb, -1, -2), s.R_wb))
+        dp = _mv(jnp.swapaxes(s_ref.R_wb, -1, -2), s.p_w - s_ref.p_w)
+        return jnp.concatenate(
+            [dphi, dp, s.v_w - s_ref.v_w, s.bg - s_ref.bg, s.ba - s_ref.ba]
+        )
+
+    def vis_residual(sc: BodyState):
+        R_cw, t_cw = body_to_cam(sc, R_bc, t_bc)
+        Xc = _mv(R_cw, Xw) + t_cw
+        uv = project(cam, Xc)
+        z = jnp.maximum(Xc[..., 2], 1e-6)
+        ur = uv[..., 0] - bf / z
+        du = obs_uv[..., 0] - uv[..., 0]
+        dv = obs_uv[..., 1] - uv[..., 1]
+        dur = jnp.where(is_stereo, obs_ur - ur, 0.0)
+        return jnp.stack([du, dv, dur], axis=-1)
+
+    def other_residuals(sp: BodyState, sc: BodyState):
+        """Whitened inertial edge + bias walk + anchor prior: (30,)."""
+        r9 = inertial_residual(pre, sp, sc, sp)
+        rbg = _mv(W_bg, sc.bg - sp.bg)
+        rba = _mv(W_ba, sc.ba - sp.ba)
+        rp = _mv(W_prior, state_diff(sp, prev0))
+        return jnp.concatenate([_mv(W_in, r9), rbg, rba, rp])
+
+    def states_of(dx):
+        return retract(prev0, dx[:15]), retract(s0, dx[15:])
+
+    def chi2_fn(dx):
+        _, sc = states_of(dx)
+        r = vis_residual(sc)
+        return jnp.sum(r * r, axis=-1) * inv_sigma2
+
+    def gn_round(dx, inlier_mask, use_robust, n_iters):
+        delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+
+        def cost(dx, w):
+            sp, sc = states_of(dx)
+            rv = vis_residual(sc)
+            ro = other_residuals(sp, sc)
+            return jnp.sum(jnp.sum(rv * rv, -1) * w) + jnp.sum(ro * ro)
+
+        def body(carry, _):
+            dx, lam = carry
+            sp, sc = states_of(dx)
+            rv = vis_residual(sc)
+            chi2 = jnp.sum(rv * rv, axis=-1) * inv_sigma2
+            w_rob = jnp.where(use_robust, huber_weight(chi2, delta2), 1.0)
+            w = w_rob * inv_sigma2 * inlier_mask
+
+            def res_of_d(d):
+                sp2, sc2 = states_of(dx + d)
+                return vis_residual(sc2), other_residuals(sp2, sc2)
+
+            Jv, Jo = jax.jacfwd(res_of_d)(jnp.zeros(30, dtype))
+            ro = other_residuals(sp, sc)
+            H = jnp.einsum("nij,nik,n->jk", Jv, Jv, w) + Jo.T @ Jo
+            g = jnp.einsum("nij,ni,n->j", Jv, rv, w) + Jo.T @ ro
+            D = jnp.diag(jnp.diag(H))
+            step = jnp.linalg.solve(
+                H + lam * D + 1e-9 * jnp.eye(30, dtype=dtype), -g
+            )
+            dx_new = dx + step
+            accept = cost(dx_new, w) < cost(dx, w)
+            dx = jnp.where(accept, dx_new, dx)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            return (dx, lam), None
+
+        (dx, _), _ = jax.lax.scan(
+            body, (dx, jnp.asarray(1e-2, dtype)), None, length=n_iters
+        )
+        return dx
+
+    dx = jnp.zeros(30, dtype)
+    inlier = valid.astype(dtype)
+    for rnd in range(rounds):
+        use_robust = rnd < 2
+        dx = gn_round(dx, inlier, use_robust, iters)
+        chi2 = chi2_fn(dx)
+        thr = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+        inlier = (valid & (chi2 <= thr)).astype(dtype)
+
+    sp, sc = states_of(dx)
+    inl = inlier > 0
+
+    # Marginal information of the CURRENT state: Hcc - Hca Haa^-1 Hac.
+    def res_of_d_fin(d):
+        sp2, sc2 = states_of(dx + d)
+        return vis_residual(sc2), other_residuals(sp2, sc2)
+
+    Jv_f, Jo_f = jax.jacfwd(res_of_d_fin)(jnp.zeros(30, dtype))
+    w_fin = inlier * inv_sigma2
+    H30 = jnp.einsum("nij,nik,n->jk", Jv_f, Jv_f, w_fin) + Jo_f.T @ Jo_f
+    Haa = H30[:15, :15] + 1e-6 * jnp.eye(15, dtype=dtype)
+    Hca = H30[15:, :15]
+    Hcc = H30[15:, 15:]
+    H_marg = Hcc - Hca @ jnp.linalg.solve(Haa, Hca.T)
+    return VIPoseResult(sc, inl, jnp.sum(inl.astype(jnp.int32)), H_marg)
 
 
 # ---------------------------------------------------------------------------

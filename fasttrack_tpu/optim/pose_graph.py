@@ -100,6 +100,93 @@ def sim3_inv(a):
     return (si, Ri, -si * Ri @ t)
 
 
+def optimize_essential_graph_4dof(
+    poses: dict[int, tuple],      # kf_id -> (1, R_cw, t_cw)
+    edges: list[tuple],           # (id_i, id_j, (s, R, t) = Sji measured)
+    fixed_ids: set[int],
+    iterations: int = 15,
+) -> dict[int, tuple]:
+    """Gravity-preserving essential graph for inertial maps
+    (Optimizer::OptimizeEssentialGraph4DoF, src/Optimizer.cc:5292): each
+    vertex moves in yaw + translation only, so the loop correction can never
+    tilt the gravity direction an IMU-initialized map aligned to -z.
+
+    Updates are RIGHT-multiplicative world-side perturbations
+    x' = x o exp([rho, 0, 0, phi_z, 0])^-1 — a world-frame z-rotation +
+    translation, which leaves the world z axis (gravity) invariant; the
+    camera-side left perturbation of the 7-DoF variant would not."""
+    ids = sorted(poses)
+    index = {k: i for i, k in enumerate(ids)}
+    n = len(ids)
+    x = {k: poses[k] for k in ids}
+    dof = 4
+
+    def lift(d4):
+        xi = np.zeros(7)
+        xi[:3] = d4[:3]
+        xi[5] = d4[3]    # phi_z: yaw about the world z axis
+        return xi
+
+    def apply(S, d4):
+        return sim3_mul(S, sim3_inv(sim3_exp(lift(d4))))
+
+    def edge_residual(Si, Sj, Sji):
+        return sim3_log(*sim3_mul(sim3_mul(Sji, Si), sim3_inv(Sj)))
+
+    eps = 1e-6
+    for _ in range(iterations):
+        H = {}
+        b = np.zeros(n * dof)
+        for (i_id, j_id, Sji) in edges:
+            Si, Sj = x[i_id], x[j_id]
+            r = edge_residual(Si, Sj, Sji)
+            Ji = np.zeros((7, dof))
+            Jj = np.zeros((7, dof))
+            for k in range(dof):
+                d = np.zeros(dof)
+                d[k] = eps
+                Ji[:, k] = (edge_residual(apply(Si, d), Sj, Sji) - r) / eps
+                Jj[:, k] = (edge_residual(Si, apply(Sj, d), Sji) - r) / eps
+            ii, jj = index[i_id], index[j_id]
+            for (a, Ja) in ((ii, Ji), (jj, Jj)):
+                b[a * dof:(a + 1) * dof] += Ja.T @ r
+                for (c, Jc) in ((ii, Ji), (jj, Jj)):
+                    key = (a, c)
+                    H[key] = H.get(key, 0) + Ja.T @ Jc
+
+        rows, cols, vals = [], [], []
+        for (a, c), blk in H.items():
+            for p in range(dof):
+                for q in range(dof):
+                    rows.append(a * dof + p)
+                    cols.append(c * dof + q)
+                    vals.append(blk[p, q])
+        A = sp.csr_matrix((vals, (rows, cols)), shape=(n * dof, n * dof))
+        A = A + sp.eye(n * dof) * 1e-6
+        free = np.ones(n * dof, bool)
+        for k in fixed_ids:
+            if k in index:
+                free[index[k] * dof:(index[k] + 1) * dof] = False
+        fi = np.where(free)[0]
+        if len(fi) == 0:
+            break
+        try:
+            dx_f = spla.spsolve(A[fi][:, fi].tocsc(), -b[fi])
+        except Exception:
+            break
+        dx = np.zeros(n * dof)
+        dx[fi] = dx_f
+        for k in ids:
+            i = index[k]
+            d = dx[i * dof:(i + 1) * dof]
+            if np.abs(d).max() < 1e-12:
+                continue
+            x[k] = apply(x[k], d)
+        if np.abs(dx).max() < 1e-8:
+            break
+    return x
+
+
 def optimize_essential_graph(
     poses: dict[int, tuple],      # kf_id -> (s, R_cw, t_cw) Sim3 (s=1 pre-loop)
     edges: list[tuple],           # (id_i, id_j, (s, R, t) = Sji measured: j <- i)

@@ -223,6 +223,8 @@ class System:
             self.tracker.reloc_db = self.loop_closer.db
             self.tracker.vocabulary = vocabulary
             self.loop_closer.tracker = self.tracker
+            # inertial GBA after loop/merge reuses the mapper's window sweep
+            self.loop_closer.local_mapper = self.local_mapper
         if settings.load_atlas:
             self.load_atlas(settings.load_atlas)
 

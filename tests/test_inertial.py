@@ -113,6 +113,67 @@ class TestPoseInertialOptimize:
         assert np.linalg.norm(v_est - v2) < 0.05, (v_est, v2)
         assert int(res.n_inliers) > 200
 
+    def test_soft_prior_beats_fixed_anchor(self):
+        """ConstraintPoseImu (Optimizer.cc:4875): with a NOISY anchor state,
+        the LastFrame variant's soft prior lets the anchor relax through the
+        inertial edge, so the current-state estimate beats the fixed-anchor
+        solve which propagates the anchor error rigidly."""
+        from fasttrack_tpu.optim.inertial import (
+            pose_inertial_optimize_lastframe,
+        )
+
+        calib = ImuCalib.default(freq=200.0)
+        acc, gyro, dts, (p1, v1), (p2, v2), T = _simulate_const_accel()
+        pre = preintegrate(jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts), calib)
+        eye = jnp.eye(3)
+        # anchor carries a position error: the fixed anchor propagates it
+        # rigidly through the (near-exact) inertial edge, fighting the
+        # visual evidence; the soft prior lets the anchor relax instead
+        dp_noise = np.array([0.05, -0.04, 0.03])
+        prev_noisy = BodyState(
+            eye, jnp.asarray(p1 + dp_noise, jnp.float32),
+            jnp.asarray(v1, jnp.float32), jnp.zeros(3), jnp.zeros(3),
+        )
+        N = 256
+        Xw = RNG.uniform([-3, -2, 4], [3, 2, 10], (N, 3)).astype(np.float32)
+        cam = make_pinhole(400.0, 400.0, 160.0, 120.0, 320, 240)
+        fx, fy, cx, cy = 400.0, 400.0, 160.0, 120.0
+        bf = 40.0
+        Xc = Xw - p2[None, :]
+        uv = np.stack([fx * Xc[:, 0] / Xc[:, 2] + cx,
+                       fy * Xc[:, 1] / Xc[:, 2] + cy], -1)
+        uv += RNG.normal(0, 0.3, uv.shape)
+        ur = uv[:, 0] - bf / Xc[:, 2]
+        s0 = BodyState(
+            eye, jnp.asarray(p2 + [0.05, -0.04, 0.08], jnp.float32),
+            jnp.asarray(v2 + 0.1, jnp.float32), jnp.zeros(3), jnp.zeros(3),
+        )
+        args = (
+            jnp.asarray(Xw), jnp.asarray(uv.astype(np.float32)),
+            jnp.asarray(ur.astype(np.float32)), jnp.ones(N), jnp.ones(N, bool),
+        )
+        res_fixed = pose_inertial_optimize(
+            cam, jnp.float32(bf), eye, jnp.zeros(3), prev_noisy, pre, s0, *args,
+        )
+        # moderate prior: the anchor is trusted but not clamped
+        prior_H = jnp.asarray(np.diag(
+            [1e4] * 3 + [1e2] * 3 + [1e2] * 3 + [1e6] * 6
+        ), jnp.float32)
+        res_soft = pose_inertial_optimize_lastframe(
+            cam, jnp.float32(bf), eye, jnp.zeros(3), prev_noisy, prior_H,
+            pre, s0, *args,
+        )
+        e_fixed = np.linalg.norm(np.asarray(res_fixed.state.p_w) - p2)
+        e_soft = np.linalg.norm(np.asarray(res_soft.state.p_w) - p2)
+        # fixed anchor propagates most of the 0.07 anchor offset; the soft
+        # prior recovers to millimetres (measured 0.071 -> 0.002)
+        assert e_fixed > 0.04, e_fixed
+        assert e_soft < 0.2 * e_fixed, (e_soft, e_fixed)
+        # the marginal information for the NEXT frame's prior is PSD
+        H = np.asarray(res_soft.H)
+        assert H.shape == (15, 15)
+        assert np.linalg.eigvalsh(H).min() > -1e-3
+
     def test_imu_constrains_without_vision(self):
         """With no visual edges the solution must stay at the IMU
         prediction (the dead-reckoning limit)."""
