@@ -115,6 +115,8 @@ class Tracker:
         self.last_imu_time: float | None = None
         self.bias = (np.zeros(3), np.zeros(3))  # (bg, ba) current estimate
         self.v_w = np.zeros(3)                # current world velocity (body)
+        self._prior_H = None   # ConstraintPoseImu info of the last frame
+        self._tlm_cand_ids = None  # local-map candidate ids for fused frames
         self.last_kf_state = None             # host BodyState of the ref KF
         self._init_reference: Optional[TrackedFrame] = None
         self.reloc_db = None      # KeyFrameDatabase (shared with loop closing)
@@ -175,7 +177,10 @@ class Tracker:
         from fasttrack_tpu.frame_pipeline import pack_frame_for_host
 
         f32_d, packed_d = pack_frame_for_host(fd)
+        t_sync = time.perf_counter()
         f32, packed = device_fetch(f32_d, packed_d)
+        self.stats.record("sync_ms", (time.perf_counter() - t_sync) * 1e3)
+        self.stats.record_count("device_fetches", 1)
         bits = np.unpackbits(packed, axis=1, bitorder="little")
         return TrackedFrame(
             frame_id=self.frame_id,
@@ -359,10 +364,214 @@ class Tracker:
         stacked = np.stack(
             [np.asarray(img_left, np.uint8), np.asarray(img_right, np.uint8)]
         )
+        if self._fused_eligible():
+            out = self._track_stereo_fused(stacked, timestamp, t0)
+            if out is not NotImplemented:
+                return out
         fd = process_stereo_frame_stacked(
             jnp.asarray(stacked), self.cfg, self._bf_dev, self._minz_dev,
         )
         return self._track_frame(fd, timestamp, t0)
+
+    # -------------------------------------------------- fused one-sync path
+    def _fused_eligible(self) -> bool:
+        """The single-sync frame path (fused_track module) covers the normal
+        case: OK state, constant-velocity prediction, all device toggles on,
+        pinhole stereo, local-map candidates cached from the previous frame.
+        Everything else (init, reloc, inertial, ablations) stays stepwise."""
+        return (
+            self.state == TrackingState.OK
+            and not self.use_imu
+            and not self.localization_only
+            and self.velocity is not None
+            and self._tlm_cand_ids is not None
+            and len(self._tlm_cand_ids) > 0
+            and self.kcfg.search_local_points and self.kcfg.pose_estimation
+            and self.kcfg.pose_optimization
+            and self.camera.kind == "pinhole"
+            and self.last_frame is not None
+            and self.last_frame.R_cw is not None
+            and int((self.last_frame.mp_ids >= 0).sum()) >= 10
+        )
+
+    _TLM_CAP = 4096  # fixed candidate capacity (one XLA program)
+
+    def _store_device(self, m):
+        """Device-resident PointStore mirror (the reference's persistent
+        CudaMapPoint arrays, CudaFrame.cu:77-181 / KernelController.cu:18-22):
+        re-uploaded only when the map changed (BA write-back, loop
+        correction, new points — all bump change_index or grow the store);
+        between keyframes the fused path uploads row INDICES only."""
+        st = m.store
+        key = (id(m), m.change_index, st.n_rows, st.cap)
+        if getattr(self, "_store_key", None) != key:
+            self._store_dev = (
+                jnp.asarray(st.pos.astype(np.float32)),
+                jnp.asarray(st.desc_signed),
+                jnp.asarray(st.normal.astype(np.float32)),
+                jnp.asarray(st.min_dist.astype(np.float32)),
+                jnp.asarray(np.where(
+                    np.isfinite(st.max_dist), st.max_dist, 1e6
+                ).astype(np.float32)),
+            )
+            self._store_key = key
+        return self._store_dev
+
+    def _pack_tlm_candidates(self, m):
+        """Select the cached local-map candidate ids -> PointStore rows for
+        tlm_step (the data itself lives in the device mirror; only the id
+        SET is one frame stale)."""
+        mp_ids = np.asarray(self._tlm_cand_ids, np.int64)
+        rows_all = m.rows_for(mp_ids)
+        sel = rows_all >= 0
+        sel[np.cumsum(sel) > self._TLM_CAP] = False
+        rows = rows_all[sel]
+        st = m.store
+        sel_desc = st.has_desc[rows]
+        rows = rows[sel_desc]
+        j = len(rows)
+        if j == 0:
+            return None
+        P = self._TLM_CAP
+        mids = np.full(P, -1, np.int64)
+        rows_p = np.zeros(P, np.int32)
+        okq = np.zeros(P, bool)
+        mids[:j] = mp_ids[sel][sel_desc]
+        rows_p[:j] = rows
+        okq[:j] = True
+        return mids, rows_p, okq, rows
+
+    def _track_stereo_fused(self, stacked: np.ndarray, timestamp: float,
+                            t0: float):
+        """One-sync OK-state frame (fused_track module): host packs every
+        query block from last-frame state + the motion prediction, dispatches
+        extract -> stereo -> TWM(match+opt) -> TLM(frustum+match+opt) -> pack
+        asynchronously, then fetches ALL outputs in one batched round trip.
+        Falls back (returns NotImplemented) when preconditions break, and
+        resumes the stepwise pipeline on TWM failure using the already
+        fetched snapshot."""
+        from fasttrack_tpu.cameras.host import (
+            frustum_depth_ok, in_image_np, project_np,
+        )
+        from fasttrack_tpu.fused_track import (
+            pack_fused_for_host, tlm_step, twm_step, unpack_fused,
+        )
+
+        m = self.atlas.current
+        with m.lock:
+            last = self.last_frame
+            dt = timestamp - last.timestamp
+            if dt < 0 or (self.use_imu and dt > 3.0):
+                return NotImplemented  # timestamp jumps take the stepwise path
+
+            R_pred = self.velocity[0] @ last.R_cw
+            t_pred = self.velocity[0] @ last.t_cw + self.velocity[1]
+
+            # ---- TWM query block (host; all last-frame state)
+            has_mp = last.mp_ids >= 0
+            mids = last.mp_ids.copy()
+            q_rows_raw = m.rows_for(mids)
+            okq = (q_rows_raw >= 0) & has_mp
+            okq[okq] &= m.store.has_desc[q_rows_raw[okq]]
+            pos = np.zeros((len(mids), 3), np.float32)
+            pos[okq] = m.store.pos[q_rows_raw[okq]]
+            Xc = pos @ R_pred.T.astype(np.float32) + t_pred.astype(np.float32)
+            uvp = project_np(self.camera, Xc)
+            okq &= frustum_depth_ok(self.camera, Xc) & in_image_np(self.camera, uvp)
+            radius = 7.0 * self._scale_factors[last.kp_level]
+            lvl = last.kp_level
+            q7 = np.stack([
+                uvp[:, 0], uvp[:, 1], radius,
+                np.maximum(lvl - 1, 0), np.minimum(lvl + 1, self.cfg.n_levels - 1),
+                okq.astype(np.float64), last.kp_angle,
+            ]).astype(np.float32)
+            q_rows = np.where(okq, q_rows_raw, 0).astype(np.int32)
+
+            cand = self._pack_tlm_candidates(m)
+            if cand is None:
+                return NotImplemented
+            c_mids, c_rows_p, c_ok, c_rows = cand
+
+            # ---- dispatch the full chain (async; no host syncs)
+            store_dev = self._store_device(m)
+            fd = process_stereo_frame_stacked(
+                jnp.asarray(stacked), self.cfg, self._bf_dev, self._minz_dev,
+            )
+            T0 = SE3(jnp.asarray(R_pred, jnp.float32),
+                     jnp.asarray(t_pred, jnp.float32))
+            twm = twm_step(
+                fd.kps, fd.u_right, self.cfg, self._bf_dev, self.camera, T0,
+                jnp.asarray(q7), jnp.asarray(q_rows),
+                store_dev[0], store_dev[1],
+            )
+            tlm = tlm_step(
+                fd.kps, fd.u_right, self.cfg, self._bf_dev, self.camera, twm,
+                jnp.asarray(c_rows_p), jnp.asarray(c_ok), *store_dev,
+            )
+            buf_d = pack_fused_for_host(fd, twm, tlm)
+            t_sync = time.perf_counter()
+            buf = device_fetch(buf_d)
+            self.stats.record("sync_ms", (time.perf_counter() - t_sync) * 1e3)
+            self.stats.record_count("device_fetches", 1)
+            N = int(fd.kps.x.shape[0])
+            (f32, packed, idxA, keepA, idxB, keepB, in_frustum,
+             tail) = unpack_fused(buf, N, len(mids), self._TLM_CAP)
+
+            # ---- host bookkeeping
+            bits = np.unpackbits(packed, axis=1, bitorder="little")
+            frame = TrackedFrame(
+                frame_id=self.frame_id, timestamp=timestamp,
+                kp_uv=np.ascontiguousarray(f32[:2].T),
+                kp_level=f32[2].astype(np.int32), kp_angle=f32[3],
+                desc_packed=packed, desc_signed=(2 * bits.astype(np.int8) - 1),
+                u_right=f32[4], depth=f32[5], valid=f32[6] > 0.5,
+            )
+            inlB_kp = f32[8] > 0.5
+            n_inlA = int(tail[12])
+            n_inlB = int(tail[13])
+
+            if n_inlA < 10:
+                # TWM failed — resume the stepwise pipeline with the snapshot
+                # we already paid for (reference-KF matching, reloc, ...)
+                self._fd_dev = fd
+                self.stats.record("orb_extraction", (time.perf_counter() - t0) * 1e3)
+                out = self._track_prepared(frame, t0)
+                self._fd_dev = None
+                return out
+
+            # TWM bindings, then TLM bindings (first-binding-wins for a mid
+            # bound by both — the device taken-mask already prevents
+            # keypoint-level duplicates)
+            frame.mp_ids[:] = -1
+            frame.mp_ids[idxA[keepA]] = mids[keepA]
+            twm_bound = mids[keepA]
+            selB = keepB & ~np.isin(c_mids, twm_bound) & (c_mids >= 0)
+            frame.mp_ids[idxB[selB]] = c_mids[selB]
+            # final pose-opt outlier unbind (Tracking.cc:2996-3038)
+            frame.mp_ids[~inlB_kp & (frame.mp_ids >= 0)] = -1
+            self.n_inliers = n_inlB
+            frame.R_cw = _orthonormalize(
+                tail[:9].reshape(3, 3).astype(np.float64)
+            )
+            frame.t_cw = tail[9:12].astype(np.float64)
+            ok = self.n_inliers >= 20
+
+            # MapPoint::IncreaseVisible for frustum hits
+            m.store.n_visible[c_rows[in_frustum[:len(c_rows)]]] += 1
+            # refresh reference KF + next frame's candidate set
+            if ok:
+                _, mp_ids_next = self._local_map_ids(frame)
+                self._tlm_cand_ids = mp_ids_next
+            self._post_track(frame, ok)
+
+        self.frame_id += 1
+        self.last_frame = frame
+        if frame.R_cw is not None:
+            self.trajectory.append(
+                (timestamp, frame.R_cw.copy(), frame.t_cw.copy())
+            )
+        self.stats.record("tracking_total", (time.perf_counter() - t0) * 1e3)
+        return (frame.R_cw, frame.t_cw) if frame.R_cw is not None else None
 
     def _track_stereo_host(self, img_left, img_right, timestamp: float, t0):
         """Front end with per-stage host/device dispatch (the reference's
@@ -691,40 +900,48 @@ class Tracker:
                 ok = self._track_local_map(frame)
                 self.stats.record("tlm", (time.perf_counter() - t0) * 1e3)
 
-            if ok:
-                self.state = TrackingState.OK
-                self.lost_since = None
-                # velocity = Tcw_cur * Twc_last (undefined right after an
-                # atlas load: no last frame yet)
-                if self.last_frame is not None and self.last_frame.R_cw is not None:
-                    R_wl, t_wl = self.last_frame.pose_wc()
-                    self.velocity = (
-                        _orthonormalize(frame.R_cw @ R_wl),
-                        frame.R_cw @ t_wl + frame.t_cw,
-                    )
-                self._update_found_counters(frame)
-                # Localization-only mode (System::ActivateLocalizationMode):
-                # track against the frozen map, never insert keyframes.
-                if not self.localization_only and self._need_new_keyframe(frame):
-                    self._create_new_keyframe(frame)
-            else:
-                if self.state == TrackingState.OK:
-                    self.state = TrackingState.RECENTLY_LOST
-                    self.lost_since = frame.timestamp
-                elif (
-                    self.state == TrackingState.RECENTLY_LOST
-                    and self.lost_since is not None
-                    and frame.timestamp - self.lost_since > self.time_recently_lost
-                ):
-                    self.state = TrackingState.LOST
-                    self._handle_lost()
-                self.velocity = None
-                # keep last pose as estimate (unless IMU dead-reckoning
-                # already produced a prediction for this frame)
-                if frame.R_cw is None and self.last_frame.R_cw is not None:
-                    frame.R_cw = self.last_frame.R_cw.copy()
-                    frame.t_cw = self.last_frame.t_cw.copy()
-            self.stats.record_count("track_ok", int(ok))
+            self._post_track(frame, ok)
+
+    def _post_track(self, frame: TrackedFrame, ok: bool):
+        """Shared frame postlude (assumes the map lock is held): state
+        machine transition, velocity model, found counters, keyframe
+        decision (Tracking.cc:2038-2389 tail of Track())."""
+        if ok:
+            self.state = TrackingState.OK
+            self.lost_since = None
+            # velocity = Tcw_cur * Twc_last (undefined right after an
+            # atlas load: no last frame yet)
+            if self.last_frame is not None and self.last_frame.R_cw is not None:
+                R_wl, t_wl = self.last_frame.pose_wc()
+                self.velocity = (
+                    _orthonormalize(frame.R_cw @ R_wl),
+                    frame.R_cw @ t_wl + frame.t_cw,
+                )
+            self._update_found_counters(frame)
+            # Localization-only mode (System::ActivateLocalizationMode):
+            # track against the frozen map, never insert keyframes.
+            if not self.localization_only and self._need_new_keyframe(frame):
+                self._create_new_keyframe(frame)
+        else:
+            if self.state == TrackingState.OK:
+                self.state = TrackingState.RECENTLY_LOST
+                self.lost_since = frame.timestamp
+            elif (
+                self.state == TrackingState.RECENTLY_LOST
+                and self.lost_since is not None
+                and frame.timestamp - self.lost_since > self.time_recently_lost
+            ):
+                self.state = TrackingState.LOST
+                self._handle_lost()
+            self.velocity = None
+            self._prior_H = None
+            self._tlm_cand_ids = None
+            # keep last pose as estimate (unless IMU dead-reckoning
+            # already produced a prediction for this frame)
+            if frame.R_cw is None and self.last_frame.R_cw is not None:
+                frame.R_cw = self.last_frame.R_cw.copy()
+                frame.t_cw = self.last_frame.t_cw.copy()
+        self.stats.record_count("track_ok", int(ok))
 
     def _reset_active_map(self):
         """Tracking::ResetActiveMap: wipe the current map and reinitialize
@@ -737,6 +954,7 @@ class Tracker:
         self.velocity = None
         self.last_kf_state = None
         self.pre_from_kf = None
+        self._prior_H = None
         self._init_reference = None
 
     def _handle_lost(self):
@@ -847,6 +1065,8 @@ class Tracker:
                 self.stats.record("twm_h2d", (t_x - t_h) * 1e3)
                 self.stats.record("twm_exec", (t_d - t_x) * 1e3)
                 self.stats.record("twm_d2h", (t_e - t_d) * 1e3)
+                self.stats.record("sync_ms", (t_e - t_d) * 1e3)
+                self.stats.record_count("device_fetches", 1)
             else:
                 # host path (ORBmatcher.cc:1992 CPU branch of the
                 # poseEstimation toggle)
@@ -928,9 +1148,12 @@ class Tracker:
             jnp.asarray(self._inv_sigma2[frame.kp_level]),
             jnp.asarray(ok),
         )
+        t_sync = time.perf_counter()
         inl, n_inl, R_new, t_new = device_fetch(
             res.inliers, res.n_inliers, res.pose.R, res.pose.t
         )
+        self.stats.record("sync_ms", (time.perf_counter() - t_sync) * 1e3)
+        self.stats.record_count("device_fetches", 1)
         self.n_inliers = int(n_inl)
         # unbind outliers (Tracking.cc:2996-3038)
         frame.mp_ids[~inl] = -1
@@ -946,13 +1169,13 @@ class Tracker:
         """Motion-only VI optimization. Anchor selection mirrors the
         reference (Tracking.cc:3080-3106): when the map changed since the
         previous frame, anchor on the last KEYFRAME
-        (Optimizer::PoseInertialOptimizationLastKeyFrame, Optimizer.cc:4491);
-        otherwise anchor on the last FRAME with the frame-to-frame
-        preintegration (PoseInertialOptimizationLastFrame, Optimizer.cc:4875
-        — the reference softens the anchor with a ConstraintPoseImu prior;
-        here the anchor state is held fixed, a tight prior)."""
+        (Optimizer::PoseInertialOptimizationLastKeyFrame, Optimizer.cc:4491,
+        fixed anchor); otherwise anchor on the last FRAME with the
+        frame-to-frame preintegration and the ConstraintPoseImu soft prior
+        carried from that frame's own solve
+        (PoseInertialOptimizationLastFrame, Optimizer.cc:4875)."""
         from fasttrack_tpu.optim.inertial import (
-            BodyState, pose_inertial_optimize,
+            BodyState, pose_inertial_optimize, pose_inertial_optimize_lastframe,
         )
 
         m_now = self.atlas.current
@@ -986,21 +1209,38 @@ class Tracker:
             jnp.asarray(v0, jnp.float32), jnp.asarray(kf_bg, jnp.float32),
             jnp.asarray(kf_ba, jnp.float32),
         )
-        res = pose_inertial_optimize(
-            self.camera, jnp.float32(self.bf),
-            jnp.asarray(np.asarray(self.imu_calib.R_bc), jnp.float32),
-            jnp.asarray(np.asarray(self.imu_calib.t_bc), jnp.float32),
-            prev, pre_anchor, s0,
+        common = (
             jnp.asarray(Xw), jnp.asarray(frame.kp_uv),
             jnp.asarray(frame.u_right),
             jnp.asarray(self._inv_sigma2[frame.kp_level]),
             jnp.asarray(ok),
         )
+        if use_frame_anchor and self._prior_H is not None:
+            res = pose_inertial_optimize_lastframe(
+                self.camera, jnp.float32(self.bf),
+                jnp.asarray(np.asarray(self.imu_calib.R_bc), jnp.float32),
+                jnp.asarray(np.asarray(self.imu_calib.t_bc), jnp.float32),
+                prev, jnp.asarray(self._prior_H, jnp.float32),
+                pre_anchor, s0, *common,
+            )
+        else:
+            res = pose_inertial_optimize(
+                self.camera, jnp.float32(self.bf),
+                jnp.asarray(np.asarray(self.imu_calib.R_bc), jnp.float32),
+                jnp.asarray(np.asarray(self.imu_calib.t_bc), jnp.float32),
+                prev, pre_anchor, s0, *common,
+            )
+        t_sync = time.perf_counter()
         inl = np.asarray(res.inliers)
+        self.stats.record("sync_ms", (time.perf_counter() - t_sync) * 1e3)
+        self.stats.record_count("device_fetches", 1)
         self.n_inliers = int(res.n_inliers)
         frame.mp_ids[~inl] = -1
         if self.n_inliers < max(min_inliers, 1):
+            self._prior_H = None
             return False
+        if res.H is not None:
+            self._prior_H = np.asarray(res.H, np.float64)
         R_wb = _orthonormalize(np.asarray(res.state.R_wb, np.float64))
         p_w = np.asarray(res.state.p_w, np.float64)
         frame.R_cw, frame.t_cw = self._cam_from_body(R_wb, p_w)
@@ -1056,10 +1296,67 @@ class Tracker:
                 continue
             frame.mp_ids[:] = -1
             frame.mp_ids[idxf[pnp.inliers]] = kf.mp_ids[keep][pnp.inliers]
-            if self._optimize_frame_pose(frame, pnp.R_cw, pnp.t_cw, min_inliers=20):
+            if not self._optimize_frame_pose(frame, pnp.R_cw, pnp.t_cw, min_inliers=10):
+                continue
+            # Widening-window refinement (Tracking.cc:3889-3975): when the
+            # BoW seed leaves <50 inliers, re-project the candidate KF's map
+            # points through the refined pose with a wide window, rebind,
+            # and re-optimize; then once more with a narrow window.
+            for window in (10.0, 3.0):
+                if self.n_inliers >= 50:
+                    break
+                if self._reloc_projection_rebind(frame, kf, m, window):
+                    self._optimize_frame_pose(
+                        frame, frame.R_cw, frame.t_cw, min_inliers=10
+                    )
+            if self.n_inliers >= 50:
                 self.ref_kf_id = kid
                 return True
         return False
+
+    def _reloc_projection_rebind(self, frame: TrackedFrame, kf, m,
+                                 window: float) -> bool:
+        """SearchByProjection(CurrentFrame, pKF, th, ...) for relocalization
+        (ORBmatcher.cc:2087): project the candidate keyframe's map points
+        with the current pose estimate and window-match unbound keypoints."""
+        from fasttrack_tpu.cameras.host import (
+            frustum_depth_ok, in_image_np, project_np,
+        )
+        from fasttrack_tpu.ops.host_kernels import host_search_by_projection
+
+        has_mp = kf.mp_ids >= 0
+        if frame.R_cw is None or has_mp.sum() == 0:
+            return False
+        mids = kf.mp_ids.copy()
+        pos, _, okq = self._gather_map_points(mids, m)
+        okq &= has_mp
+        # skip points already bound to this frame
+        bound = frame.mp_ids[frame.mp_ids >= 0]
+        if len(bound):
+            okq &= ~np.isin(mids, bound)
+        Xc = pos @ frame.R_cw.T.astype(np.float32) + frame.t_cw.astype(np.float32)
+        uv = project_np(self.camera, Xc)
+        okq &= frustum_depth_ok(self.camera, Xc) & in_image_np(self.camera, uv)
+        if not okq.any():
+            return False
+        lvl = kf.kp_level.astype(np.int32)
+        radius = (window * self._scale_factors[lvl]).astype(np.float32)
+        packed = self._packed_for(mids, m, okq)
+        taken = frame.mp_ids >= 0
+        idx, _, hit = host_search_by_projection(
+            uv.astype(np.float32), packed, radius,
+            np.maximum(lvl - 1, 0), np.minimum(lvl + 1, self.cfg.n_levels - 1),
+            okq, frame.kp_uv.astype(np.float32), frame.desc_packed,
+            frame.kp_level.astype(np.int32), frame.valid & ~taken,
+            max_dist=TH_HIGH,
+        )
+        n_new = 0
+        for q in np.where(hit)[0]:
+            i = int(idx[q])
+            if frame.mp_ids[i] < 0:
+                frame.mp_ids[i] = mids[q]
+                n_new += 1
+        return n_new > 0
 
     # ---------------------------------------------------------- local map
     def _local_map_ids(self, frame: TrackedFrame):
@@ -1107,6 +1404,7 @@ class Tracker:
     def _track_local_map(self, frame: TrackedFrame) -> bool:
         m = self.atlas.current
         _, mp_ids = self._local_map_ids(frame)
+        self._tlm_cand_ids = mp_ids  # next fused frame's candidate set
         if len(mp_ids) == 0:
             return False
 
@@ -1201,6 +1499,8 @@ class Tracker:
             self.stats.record("slp_h2d", (t_x - t_h) * 1e3)
             self.stats.record("slp_exec", (t_d - t_x) * 1e3)
             self.stats.record("slp_d2h", (t_e - t_d) * 1e3)
+            self.stats.record("sync_ms", (t_e - t_d) * 1e3)
+            self.stats.record_count("device_fetches", 1)
         else:
             # host path (ORBmatcher.cc:227 CPU branch of the
             # searchLocalPoints toggle)

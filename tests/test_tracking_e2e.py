@@ -151,3 +151,32 @@ class TestRelocalization:
         c_est = -R_cw.T @ t_cw
         gt = seq.gt_pos[17]
         assert np.linalg.norm(c_est - gt) < 0.25, (c_est, gt)
+
+    def test_relocalizes_from_offset_view(self, seq):
+        """Harder re-acquisition: after going lost near the END of the
+        sweep, the camera reappears at the START — a larger pose offset
+        from the last tracked view. The widening-window refinement
+        (Tracking.cc:3889-3975) must still reach >=50 inliers."""
+        sys = make_system(seq)
+        for fr in seq.frames[:20]:
+            sys.track_stereo(fr.left, fr.right, fr.timestamp)
+        assert sys.tracking_state == TrackingState.OK
+        n_maps_before = sys.atlas.n_maps()
+
+        blank = np.full_like(seq.frames[0].left, 127)
+        t = seq.frames[19].timestamp
+        for _ in range(3):
+            t += 0.05
+            sys.track_stereo(blank, blank, t)
+        assert sys.tracking_state == TrackingState.RECENTLY_LOST
+
+        # reappear at the very start of the trajectory (largest offset)
+        for fr in seq.frames[0:6]:
+            t += 0.05
+            sys.track_stereo(fr.left, fr.right, t)
+        assert sys.tracking_state == TrackingState.OK
+        assert sys.atlas.n_maps() == n_maps_before
+        _, R_cw, t_cw = sys.tracker.trajectory[-1]
+        c_est = -R_cw.T @ t_cw
+        gt = seq.gt_pos[5]
+        assert np.linalg.norm(c_est - gt) < 0.25, (c_est, gt)
