@@ -35,8 +35,10 @@ class ImuData:
     acc: np.ndarray     # (M, 3)
 
     def between(self, t0: float, t1: float):
-        m = (self.t > t0) & (self.t <= t1)
-        return self.t[m], self.gyro[m], self.acc[m]
+        """Samples in (t0, t1] as (t, acc, gyro) tuples — the exact shape
+        Tracker.grab_imu / System.track_*(imu=...) consume."""
+        idx = np.where((self.t > t0) & (self.t <= t1))[0]
+        return [(float(self.t[i]), self.acc[i], self.gyro[i]) for i in idx]
 
 
 @dataclass

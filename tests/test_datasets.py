@@ -47,8 +47,10 @@ class TestEuroc:
         assert left.shape == (12, 16) and float(left.mean()) == 90.0
         assert float(right.mean()) == 110.0
         assert seq.imu is not None
-        tt, gyro, acc = seq.imu.between(0, 1e18)
-        assert len(tt) == 30 and np.allclose(acc[:, 2], 9.8)
+        samples = seq.imu.between(0, 1e18)
+        assert len(samples) == 30
+        t0, acc0, gyro0 = samples[0]  # grab_imu's (t, acc, gyro) order
+        assert acc0[2] == 9.8 and gyro0[0] == 0.01
 
     def test_timestamps_file_subset(self, tmp_path):
         stamps = make_euroc(str(tmp_path), n=3)
