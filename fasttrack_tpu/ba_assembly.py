@@ -168,7 +168,7 @@ def global_bundle_adjustment(
     m, camera, bf, inv_sigma2,
     max_kfs: int = 16, max_points: int = 2048,
     n_sweeps: int = 2, fixed_kf_ids: set | None = None,
-    should_abort=None,
+    should_abort=None, lock=None,
 ):
     """Whole-map BA (Optimizer::GlobalBundleAdjustemnt, Optimizer.cc:52;
     driven from RunGlobalBundleAdjustment, LoopClosing.cc:2268-2512).
@@ -179,9 +179,19 @@ def global_bundle_adjustment(
     each block's frontier (neighbouring keyframes outside the block) is held
     fixed, and `n_sweeps` passes propagate corrections across blocks.
     `should_abort` is polled between blocks — the reference's mbStopGBA
-    interruption protocol. The caller holds the map lock (the reference
-    merges GBA results back under mMutexMapUpdate)."""
-    kf_ids = sorted(m.keyframes)
+    interruption protocol. With `lock=None` the caller holds the map lock
+    for the whole run (synchronous mode); with a lock given, each BLOCK
+    acquires it briefly — the async-GBA protocol (the reference runs GBA on
+    a spawned thread and merges back under mMutexMapUpdate,
+    LoopClosing.cc:2268-2512) so tracking/mapping interleave between
+    blocks."""
+    import contextlib
+
+    hold = (lambda: lock) if lock is not None else (
+        lambda: contextlib.nullcontext()
+    )
+    with hold():
+        kf_ids = sorted(m.keyframes)
     if len(kf_ids) < 3:
         return 0
     fixed_always = set(fixed_kf_ids or ()) | {m.init_kf_id}
@@ -193,32 +203,36 @@ def global_bundle_adjustment(
         while i < len(kf_ids):
             if should_abort is not None and should_abort():
                 return n_blocks
-            local = [k for k in kf_ids[i:i + block] if k not in fixed_always]
-            if local:
-                local_set = set(local)
-                # frontier: keyframes observing the block's points
-                frontier = []
-                seen_pts = set()
-                for kid in local:
-                    for mid in m.keyframes[kid].mp_ids:
-                        if mid >= 0 and int(mid) not in seen_pts:
-                            seen_pts.add(int(mid))
-                            mp = m.mappoints.get(int(mid))
-                            if mp is None:
-                                continue
-                            for okid in mp.observations:
-                                if (
-                                    okid not in local_set
-                                    and okid in m.keyframes
-                                    and okid not in frontier
-                                ):
-                                    frontier.append(okid)
-                    if len(local) + len(frontier) >= max_kfs:
-                        break
-                solve_window(
-                    m, local, frontier[: max_kfs - len(local)], camera, bf,
-                    inv_sigma2, max_kfs, max_points, drop_outliers=False,
-                )
-                n_blocks += 1
+            with hold():
+                local = [
+                    k for k in kf_ids[i:i + block]
+                    if k not in fixed_always and k in m.keyframes
+                ]
+                if local:
+                    local_set = set(local)
+                    # frontier: keyframes observing the block's points
+                    frontier = []
+                    seen_pts = set()
+                    for kid in local:
+                        for mid in m.keyframes[kid].mp_ids:
+                            if mid >= 0 and int(mid) not in seen_pts:
+                                seen_pts.add(int(mid))
+                                mp = m.mappoints.get(int(mid))
+                                if mp is None:
+                                    continue
+                                for okid in mp.observations:
+                                    if (
+                                        okid not in local_set
+                                        and okid in m.keyframes
+                                        and okid not in frontier
+                                    ):
+                                        frontier.append(okid)
+                        if len(local) + len(frontier) >= max_kfs:
+                            break
+                    solve_window(
+                        m, local, frontier[: max_kfs - len(local)], camera, bf,
+                        inv_sigma2, max_kfs, max_points, drop_outliers=False,
+                    )
+                    n_blocks += 1
             i += block
     return n_blocks

@@ -67,10 +67,12 @@ class LocalMapper:
     def __init__(self, atlas: Atlas, camera: Camera, bf: float,
                  scale_factor: float = 1.2, n_levels: int = 8,
                  run_async: bool = False, loop_closer=None,
-                 imu_calib=None, tracker=None, monocular: bool = False):
+                 imu_calib=None, tracker=None, monocular: bool = False,
+                 mesh=None):
         self.atlas = atlas
         self.camera = camera
         self.bf = float(bf)
+        self.mesh = mesh  # jax.sharding.Mesh: shard local BA over devices
         self.scale_factor = scale_factor
         self.n_levels = n_levels
         self.inv_sigma2 = 1.0 / (scale_factor ** (2 * np.arange(n_levels)))
@@ -406,8 +408,25 @@ class LocalMapper:
             m, local_ids, fixed_ids[: BA_MAX_KFS - len(local_ids)],
             self.inv_sigma2, BA_MAX_KFS, BA_MAX_POINTS, mp_ids,
         )
-        res = solve(prob, self.camera, jnp.float32(self.bf))
-        write_back(m, meta, res)
+        if self.mesh is not None:
+            # Landmark-sharded Schur BA over the configured device mesh
+            # (parallel/dist_ba.py): identical math, the reduced camera
+            # system psum'd over ICI. Outlier dropping is left to the next
+            # single-device pass (the dist path returns no chi2 mask).
+            from fasttrack_tpu.optim.local_ba import BAResult
+            from fasttrack_tpu.parallel.dist_ba import (
+                distributed_bundle_adjustment,
+            )
+
+            poses, points, _ = distributed_bundle_adjustment(
+                prob, self.camera, self.bf, self.mesh, iters=8
+            )
+            res = BAResult(poses, points, prob.mask,
+                           jnp.zeros_like(prob.inv_sigma2))
+            write_back(m, meta, res, drop_outliers=False)
+        else:
+            res = solve(prob, self.camera, jnp.float32(self.bf))
+            write_back(m, meta, res)
 
     # ------------------------------------------------------- inertial backend
     def _temporal_chain(self, kf: KeyFrame, max_len: int = 64):
@@ -521,16 +540,23 @@ class LocalMapper:
         self._inertial_window_ba(chain, window)
 
     def _full_inertial_ba(self, kf: KeyFrame, window: int = 8,
-                          should_abort=None):
+                          should_abort=None, lock=None):
         """Optimizer::FullInertialBA (Optimizer.cc:392), staged from
         LocalMapping.cc:181-242: polish the WHOLE temporal chain after IMU
         initialization. TPU-shape-first: overlapping fixed-shape inertial
         windows swept along the chain (each window anchors on the previous
         window's last optimized state), like the visual global BA's block
         sweeps — one XLA program regardless of map size."""
-        chain = self._temporal_chain(kf, max_len=100000)
+        import contextlib
+
+        hold = (lambda: lock) if lock is not None else (
+            lambda: contextlib.nullcontext()
+        )
+        with hold():
+            chain = self._temporal_chain(kf, max_len=100000)
         if len(chain) <= window + 1:
-            self._inertial_window_ba(chain, window)
+            with hold():
+                self._inertial_window_ba(chain, window)
             return
         step = max(window - 1, 1)
         for start in range(0, len(chain) - 2, step):
@@ -538,11 +564,12 @@ class LocalMapper:
                 return
             seg = chain[start:start + window + 1]
             if len(seg) >= 3:
-                self._inertial_window_ba(seg, window)
+                with hold():
+                    self._inertial_window_ba(seg, window)
 
     def full_inertial_ba_converged(self, kf: KeyFrame, window: int = 8,
                                    max_rounds: int = 4, tol: float = 1e-4,
-                                   should_abort=None) -> int:
+                                   should_abort=None, lock=None) -> int:
         """Iterate the forward window sweep until the chain stops moving —
         the swept approximation of the reference's single JOINT FullInertialBA
         solve (Optimizer.cc:392): one forward pass only propagates the loop
@@ -556,7 +583,9 @@ class LocalMapper:
                 break
             chain = self._temporal_chain(kf, max_len=100000)
             before = {k.kid: (k.R_cw.copy(), k.t_cw.copy()) for k in chain}
-            self._full_inertial_ba(kf, window, should_abort=should_abort)
+            self._full_inertial_ba(
+                kf, window, should_abort=should_abort, lock=lock
+            )
             rounds += 1
             delta = 0.0
             for k in chain:

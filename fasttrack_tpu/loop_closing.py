@@ -67,6 +67,7 @@ class LoopCloser:
         self.n_levels = n_levels
         self.inv_sigma2 = 1.0 / (scale_factor ** (2 * np.arange(n_levels)))
         self.abort_gba = False    # mbStopGBA: a new KF interrupts a running GBA
+        self._gba_thread = None   # RunGlobalBundleAdjustment thread
         self.run_async = run_async
         self._queue: queue.Queue = queue.Queue()
         self._stop = False
@@ -84,9 +85,38 @@ class LoopCloser:
 
     def stop(self):
         self._stop = True
+        if self._gba_thread is not None and self._gba_thread.is_alive():
+            self.abort_gba = True
+            self._gba_thread.join(timeout=30)
         if self._thread is not None:
             self._queue.put(None)
             self._thread.join(timeout=10)
+
+    def _start_gba(self, fixed_kf_ids=None):
+        """Run the post-loop/merge global BA: inline when synchronous, on a
+        dedicated thread with brief per-block map locks when async (the
+        reference's spawned RunGlobalBundleAdjustment thread,
+        LoopClosing.cc:969 -> :2268) so the loop closer keeps consuming
+        keyframes and tracking never stalls for the whole GBA."""
+        if not self.run_async:
+            self._run_global_ba(fixed_kf_ids)
+            return
+        if self._gba_thread is not None and self._gba_thread.is_alive():
+            # a newer correction supersedes the running GBA (mbStopGBA)
+            self.abort_gba = True
+            self._gba_thread.join(timeout=30)
+        m = self.atlas.current
+
+        def worker():
+            try:
+                self._run_global_ba(fixed_kf_ids, lock=m.lock)
+            except Exception:  # pragma: no cover - diagnostics only
+                import logging
+
+                logging.getLogger(__name__).exception("async GBA failed")
+
+        self._gba_thread = threading.Thread(target=worker, daemon=True)
+        self._gba_thread.start()
 
     def _run(self):
         while not self._stop:
@@ -513,9 +543,9 @@ class LoopCloser:
         # Global BA (RunGlobalBundleAdjustment, LoopClosing.cc:2268):
         # relax the whole map after the weld; interruptible by a new KF.
         if self.run_gba and self.camera is not None:
-            self._run_global_ba(fixed_kf_ids={cand.kid})
+            self._start_gba(fixed_kf_ids={cand.kid})
 
-    def _run_global_ba(self, fixed_kf_ids=None):
+    def _run_global_ba(self, fixed_kf_ids=None, lock=None):
         """Whole-map BA after a loop/merge (LoopClosing.cc:2268-2512). The
         reference spawns a GBA thread and merges results back under the map
         lock; here the loop-closer thread already holds the map lock, and the
@@ -536,7 +566,7 @@ class LoopCloser:
         ):
             latest = m.keyframes[max(m.keyframes)]
             mapper.full_inertial_ba_converged(
-                latest, should_abort=lambda: self.abort_gba
+                latest, should_abort=lambda: self.abort_gba, lock=lock,
             )
             self._refresh_tracker_anchor(m)
         else:
@@ -545,7 +575,7 @@ class LoopCloser:
             global_bundle_adjustment(
                 m, self.camera, self.bf, self.inv_sigma2,
                 fixed_kf_ids=fixed_kf_ids,
-                should_abort=lambda: self.abort_gba,
+                should_abort=lambda: self.abort_gba, lock=lock,
             )
         self.n_gba_runs += 1
 
@@ -681,6 +711,9 @@ class LoopCloser:
         self._refresh_tracker_anchor(m_old)
         self.n_maps_merged += 1
         if self.run_gba and self.camera is not None:
-            with m_old.lock:
-                self._run_global_ba(fixed_kf_ids={cand.kid})
+            if self.run_async:
+                self._start_gba(fixed_kf_ids={cand.kid})
+            else:
+                with m_old.lock:
+                    self._run_global_ba(fixed_kf_ids={cand.kid})
         return True

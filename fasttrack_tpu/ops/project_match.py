@@ -46,6 +46,32 @@ PEN = 1e6
 TOP_K = 64     # Hamming candidates per query kept for window gating
 
 
+def _use_pallas(M: int, N: int) -> bool:
+    """Route the Hamming+penalty stage through the fused Pallas kernel
+    (FASTTRACK_PALLAS=1, TPU backends, tile-aligned shapes only).
+
+    Measured decision (tools/bench_pallas.py + bench.py A/B on the chip):
+    ISOLATED the fused kernel wins ~10% at the 1024x1024 matcher shape
+    (one HBM write instead of dot+convert+broadcast rounds), but IN
+    CONTEXT — inside the jitted match programs — XLA already fuses the
+    penalty adds into the surrounding program and the Pallas call boundary
+    blocks that fusion, measuring neutral-to-slightly-negative end to end
+    (1.09 vs 1.25 ms/frame hot path). Default is therefore the XLA path;
+    the kernel stays wired for rigs where the tradeoff differs."""
+    import os
+
+    import jax as _jax
+
+    if os.environ.get("FASTTRACK_PALLAS", "") != "1":
+        return False
+    if M % 128 or N % 128:
+        return False
+    try:
+        return _jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class MatchResult(NamedTuple):
     idx: jnp.ndarray    # (M,) int32 best frame-keypoint index (undefined if !ok)
     dist: jnp.ndarray   # (M,) float32 best Hamming distance (exact integer)
@@ -82,14 +108,24 @@ def search_by_projection(
     The window test is the square |du|<=r, |dv|<=r — identical to the
     reference's Frame::GetFeaturesInArea gate — applied as a float penalty.
     """
-    d = hamming_matrix_f32(q_desc, kp_desc)  # (M, N) float32
-
-    # rank-1 validity/taken penalties on the full matrix, then top-K
-    # candidates per query; window/octave gating on the small (M, K) list
-    dm = d + (1.0 - q_valid.astype(jnp.float32))[:, None] * BIG
-    dm = dm + (1.0 - kp_valid.astype(jnp.float32))[None, :] * BIG
+    # rank-1 validity/taken penalties fused with the Hamming matmul: the
+    # Pallas kernel (ops/pallas_kernels.py) wins ~10% over the XLA form at
+    # the motion-model matcher shape (<=2M entries, tile-aligned; measured
+    # tools/bench_pallas.py) and is used there on TPU backends; wider
+    # shapes and other backends take the XLA path, where XLA's own fusion
+    # is at parity or better.
+    q_pen = (1.0 - q_valid.astype(jnp.float32)) * BIG
+    k_pen = (1.0 - kp_valid.astype(jnp.float32)) * BIG
     if kp_taken is not None:
-        dm = dm + kp_taken.astype(jnp.float32)[None, :] * BIG
+        k_pen = k_pen + kp_taken.astype(jnp.float32) * BIG
+    M, N = q_desc.shape[0], kp_desc.shape[0]
+    if _use_pallas(M, N):
+        from fasttrack_tpu.ops.pallas_kernels import hamming_penalty_matrix
+
+        dm = hamming_penalty_matrix(q_desc, kp_desc, q_pen, k_pen)
+    else:
+        d = hamming_matrix_f32(q_desc, kp_desc)  # (M, N) float32
+        dm = d + q_pen[:, None] + k_pen[None, :]
 
     K = min(TOP_K, dm.shape[1])
     neg_cd, ni = jax.lax.top_k(-dm, K)        # (M, K)

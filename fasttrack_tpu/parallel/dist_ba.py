@@ -78,13 +78,20 @@ def _ba_shard_cost(
     cam: Camera, bf, axis: str,
     poses_R, poses_t, points, obs_uv, obs_ur, inv_sigma2, mask,
 ):
-    """Total robust chi2 over all shards (psum-reduced scalar)."""
+    """Total robust chi2 over all shards (psum-reduced scalar).
+
+    Observations that die (point behind camera / non-finite residual) cost a
+    LARGE constant instead of zero — otherwise the LM accept/reject prefers
+    degenerate states that throw every point behind the camera (cost
+    silently collapses to 0; observed)."""
     poses = SE3(poses_R, poses_t)
     r, behind = ba_core.residuals(poses, points, cam, bf, obs_uv, obs_ur)
-    live = mask * (~behind) * jnp.isfinite(r).all(axis=-1)
+    alive = (~behind) * jnp.isfinite(r).all(axis=-1)
+    live = mask * alive
     r = jnp.where(live[..., None] > 0, r, 0.0)
     chi2, _ = ba_core.robust_weights(r, live, inv_sigma2, obs_ur, True)
-    return jax.lax.psum(jnp.sum(chi2), axis)
+    dead_pen = jnp.sum(mask * (1.0 - alive)) * 1e4
+    return jax.lax.psum(jnp.sum(chi2) + dead_pen, axis)
 
 
 @functools.lru_cache(maxsize=None)

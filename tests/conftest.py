@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ.get("FASTTRACK_TEST_PLATFORM", "cpu"))
+# Persistent compile cache: jaxlib 0.9.0's XLA:CPU LLVM JIT segfaults after
+# a few hundred in-process compilations (see pyproject addopts note); a warm
+# disk cache makes reruns compile almost nothing, and xdist workers share it.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

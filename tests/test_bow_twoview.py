@@ -45,6 +45,48 @@ class TestVocabulary:
         np.testing.assert_array_equal(voc.words_signed, voc2.words_signed)
 
 
+class TestTreeVocabulary:
+    def test_tree_quantize_groups_prototypes(self, rng):
+        """Perturbed copies of a prototype land on the same leaf through the
+        staged node->child argmin (DBoW2 tree-quantization semantics)."""
+        from fasttrack_tpu.bow.vocabulary import train_tree_vocabulary
+
+        protos = random_descs(rng, 64)
+        descs = np.repeat(protos, 40, axis=0)
+        flips = rng.integers(0, 256, size=(len(descs), 8))
+        for i, f in enumerate(flips):
+            descs[i, f] *= -1
+        voc = train_tree_vocabulary(descs, branches=8, children=16, iters=4)
+        assert voc.n_words == 128
+        wid, bow = quantize(voc, descs[:40])
+        assert len(np.unique(wid)) <= 3
+        assert abs(sum(bow.values()) - 1.0) < 1e-6
+        # deterministic
+        wid2, _ = quantize(voc, descs[:40])
+        np.testing.assert_array_equal(wid, wid2)
+
+    def test_tree_save_load_and_dispatch(self, rng, tmp_path):
+        from fasttrack_tpu.bow.vocabulary import (
+            TreeVocabulary, load_vocabulary, train_tree_vocabulary,
+        )
+
+        descs = random_descs(rng, 600)
+        voc = train_tree_vocabulary(descs, branches=4, children=8, iters=2)
+        p = str(tmp_path / "tree.npz")
+        voc.save(p)
+        voc2 = load_vocabulary(p)
+        assert isinstance(voc2, TreeVocabulary)
+        np.testing.assert_array_equal(voc.leaves_packed, voc2.leaves_packed)
+        w1, _ = quantize(voc, descs[:50])
+        w2, _ = quantize(voc2, descs[:50])
+        np.testing.assert_array_equal(w1, w2)
+        # the flat loader path still works
+        flat = make_random_vocabulary(64)
+        pf = str(tmp_path / "flat.npz")
+        flat.save(pf)
+        assert not isinstance(load_vocabulary(pf), TreeVocabulary)
+
+
 class TestKeyFrameDatabase:
     def test_detects_same_place(self, rng):
         voc = make_random_vocabulary(512)

@@ -177,6 +177,59 @@ class TestAtlasMerge:
         assert lc.n_maps_merged == 1
 
 
+class TestAsyncGBA:
+    def test_gba_off_critical_path(self, rng):
+        """Async-mode global BA runs on its own thread with brief per-block
+        map locks (LoopClosing.cc:2268-2512 protocol): keyframes can be
+        inserted WHILE GBA runs, no deadlock, and the map still converges."""
+        import time
+
+        atlas = Atlas()
+        kfs, pts_w, descs = build_map(atlas, rng, n_kf=12, pose_noise=0.01)
+        m = atlas.current
+        e0 = mean_reproj_error(m)
+        assert e0 > 1.0
+        lc = LoopCloser(atlas, None, np.asarray(CAM.K()), camera=CAM,
+                        bf=1.0, run_async=True, run_gba=True)
+        orig_ids = set(m.keyframes)
+        lc._start_gba(fixed_kf_ids={kfs[0].kid})
+        assert lc._gba_thread is not None and lc._gba_thread.is_alive()
+        # concurrent "tracking": insert new keyframes under the map lock
+        # while GBA blocks sweep
+        inserted = 0
+        for i in range(4):
+            with m.lock:
+                extra, _, _ = build_map(
+                    atlas, rng, n_kf=1, descs=descs, pts_w=pts_w,
+                    kf_x0=4.0 + 0.4 * i,
+                )
+                inserted += 1
+            time.sleep(0.02)
+        lc._gba_thread.join(timeout=300)
+        assert not lc._gba_thread.is_alive(), "GBA thread hung"
+        assert lc.n_gba_runs == 1
+        assert len(m.keyframes) >= len(orig_ids) + inserted
+        # convergence over the ORIGINAL drifted keyframes
+        errs = []
+        for kid in orig_ids:
+            kf = m.keyframes[kid]
+            for fi, mid in enumerate(kf.mp_ids):
+                if mid < 0:
+                    continue
+                mp = m.mappoints.get(int(mid))
+                if mp is None:
+                    continue
+                Xc = kf.R_cw @ mp.position + kf.t_cw
+                if Xc[2] < 0.5:
+                    continue
+                uv = np.array([FX * Xc[0] / Xc[2] + W / 2,
+                               FX * Xc[1] / Xc[2] + H / 2])
+                errs.append(np.linalg.norm(uv - kf.kp_uv[fi]))
+        e1 = float(np.mean(errs))
+        assert e1 < 0.5 * e0, (e0, e1)
+        lc.stop()
+
+
 class TestSearchBySim3:
     def _orbit_kf(self, atlas, m, pts_w, descs, packed, angle, mids):
         """KF on a radius-7 orbit around the cloud center, looking at it."""

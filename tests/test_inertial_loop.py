@@ -182,7 +182,8 @@ class TestInertialLoopCorrection:
             def __init__(self):
                 self.calls = 0
 
-            def full_inertial_ba_converged(self, kf, should_abort=None):
+            def full_inertial_ba_converged(self, kf, should_abort=None,
+                                           lock=None):
                 self.calls += 1
                 return 1
 

@@ -159,3 +159,25 @@ class TestShardedExtraction:
         kps = sharded_extract_batch(jnp.asarray(imgs), cfg, mesh)
         assert kps.x.shape[0] == 8
         assert int(kps.valid.sum()) > 8 * 10
+
+
+class TestMeshRoutedLocalMapper:
+    def test_local_ba_through_dist_ba(self, rng):
+        """LocalMapper with a configured mesh routes its covisibility-window
+        BA through the landmark-sharded distributed solver and still reduces
+        reprojection error on a drifted map."""
+        from fasttrack_tpu.local_mapping import LocalMapper
+        from fasttrack_tpu.parallel import make_mesh
+        from fasttrack_tpu.slam_map import Atlas
+
+        from tests.test_gba_merge import build_map, mean_reproj_error, CAM
+
+        atlas = Atlas()
+        kfs, _, _ = build_map(atlas, rng, n_kf=6, pose_noise=0.008)
+        m = atlas.current
+        e0 = mean_reproj_error(m)
+        assert e0 > 0.5
+        lm = LocalMapper(atlas, CAM, 1.0, mesh=make_mesh(8))
+        lm._local_ba(kfs[-1])
+        e1 = mean_reproj_error(m)
+        assert e1 < 0.5 * e0, (e0, e1)
