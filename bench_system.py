@@ -25,6 +25,7 @@ Writes ONE JSON line; also saved to BENCH_SYSTEM.json by the caller.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -47,28 +48,49 @@ N_FRAMES = 60
 WARMUP = 12
 
 
-def main():
-    seq = generate_sequence(n_frames=N_FRAMES, h=480, w=752, seed=0)
+def main(use_imu: bool = False):
+    # the inertial run needs enough frames past IMU init + VIBA for the
+    # fused steady state to dominate the measured window
+    n_frames = 150 if use_imu else N_FRAMES
+    warmup = 90 if use_imu else WARMUP
+    seq = generate_sequence(n_frames=n_frames, h=480, w=752, seed=0)
     cam = make_pinhole(seq.fx, seq.fy, seq.cx, seq.cy, 752, 480)
     bf = seq.baseline * seq.fx
     atlas = Atlas()
     stats = Stats()
     cfg = OrbConfig(height=480, width=752, n_features=1024, n_levels=8)
-    lm = LocalMapper(atlas, cam, bf)
-    tr = Tracker(cam, cfg, bf, atlas, kernel_config=KernelConfig(),
-                 stats=stats, local_mapper=lm)
+    imu_calib = None
+    if use_imu:
+        from fasttrack_tpu.imu.preintegration import ImuCalib
 
+        imu_calib = ImuCalib.default(freq=200.0)
+    lm = LocalMapper(atlas, cam, bf, imu_calib=imu_calib)
+    tr = Tracker(cam, cfg, bf, atlas, kernel_config=KernelConfig(),
+                 stats=stats, local_mapper=lm, imu_calib=imu_calib)
+    lm.tracker = tr
+
+    def imu_between(t0, t1):
+        sel = (seq.imu_t > t0) & (seq.imu_t <= t1)
+        return [
+            (float(t), seq.imu_acc[i], seq.imu_gyro[i])
+            for i, t in zip(np.where(sel)[0], seq.imu_t[sel])
+        ]
+
+    t_prev = -1.0
     times = []
     sync_before = host_before = fetch_before = 0.0
     sync_frames, host_frames, fetch_frames = [], [], []
     t_all0 = time.perf_counter()
     for i, fr in enumerate(seq.frames):
+        if use_imu:
+            tr.grab_imu(imu_between(t_prev, fr.timestamp))
+            t_prev = fr.timestamp
         t0 = time.perf_counter()
         tr.track_stereo(fr.left, fr.right, fr.timestamp)
         dt = (time.perf_counter() - t0) * 1e3
         sync_now = sum(stats.series.get("sync_ms", []))
         fetch_now = sum(stats.series.get("device_fetches", []))
-        if i >= WARMUP:
+        if i >= warmup:
             times.append(dt)
             sync_frames.append(sync_now - sync_before)
             host_frames.append(dt - (sync_now - sync_before))
@@ -78,12 +100,14 @@ def main():
 
     m = atlas.current
     out = {
-        "metric": "system_tracking_ms_per_frame",
+        "metric": ("system_tracking_ms_per_frame_inertial" if use_imu
+                   else "system_tracking_ms_per_frame"),
+        "imu_initialized": bool(m.imu_initialized) if use_imu else None,
         "value": round(float(np.median(times)), 2),
         "mean_ms": round(float(np.mean(times)), 2),
         "p90_ms": round(float(np.percentile(times, 90)), 2),
         "unit": "ms",
-        "n_frames": N_FRAMES,
+        "n_frames": n_frames,
         "keyframes": m.n_keyframes(),
         "mappoints": m.n_mappoints(),
         # The split the judge asked for: per-frame blocking device-sync ms
@@ -109,4 +133,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(use_imu="--imu" in sys.argv)

@@ -211,6 +211,174 @@ def tlm_step(
     )
 
 
+class TlmStepVIOut(NamedTuple):
+    idx: jnp.ndarray
+    keep: jnp.ndarray
+    R_wb: jnp.ndarray        # optimized body state
+    p_w: jnp.ndarray
+    v_w: jnp.ndarray
+    bg: jnp.ndarray
+    ba: jnp.ndarray
+    inliers: jnp.ndarray     # (N,) final per-keypoint inlier mask
+    n_inliers: jnp.ndarray
+    in_frustum: jnp.ndarray
+    H: jnp.ndarray           # (15,15) marginal info for the next frame
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def tlm_step_vi(
+    kl: Keypoints,
+    u_right: jnp.ndarray,
+    config: OrbConfig,
+    bf: jnp.ndarray,
+    cam: Camera,
+    twm: TwmStepOut,
+    cand_rows: jnp.ndarray,
+    cand_ok: jnp.ndarray,
+    store_pos: jnp.ndarray,
+    store_desc: jnp.ndarray,
+    store_normal: jnp.ndarray,
+    store_mind: jnp.ndarray,
+    store_maxd: jnp.ndarray,
+    R_bc: jnp.ndarray,
+    t_bc: jnp.ndarray,
+    vi_buf: jnp.ndarray,      # (547,) packed [prev state(21), prior_H(225),
+                              #   preintegration(298), v0(3)] — one upload
+) -> TlmStepVIOut:
+    """Inertial TrackLocalMap stage: frustum + taken-masked match against
+    the TWM visual pose (the reference's split — TrackWithMotionModel runs
+    the VISUAL pose optimization, Tracking.cc:2989; the VI optimization
+    happens once in TrackLocalMap, :3080-3106), then
+    PoseInertialOptimizationLastFrame over the union of bindings with the
+    ConstraintPoseImu soft anchor prior."""
+    from fasttrack_tpu.imu.preintegration import unpack_preintegrated
+    from fasttrack_tpu.optim.inertial import (
+        BodyState, cam_to_body, pose_inertial_optimize_lastframe,
+    )
+
+    scale_factors = jnp.asarray(
+        [config.scale_factor**l for l in range(config.n_levels)],
+        dtype=jnp.float32,
+    )
+    cand_pos = jnp.take(store_pos, cand_rows, axis=0)
+    cand_desc = jnp.take(store_desc, cand_rows, axis=0)
+    cand_normal = jnp.take(store_normal, cand_rows, axis=0)
+    cand_mind = jnp.take(store_mind, cand_rows)
+    cand_maxd = jnp.take(store_maxd, cand_rows)
+    R_cw, t_cw = twm.pose_R, twm.pose_t
+    t_wc = -R_cw.T @ t_cw
+
+    Xc = cand_pos @ R_cw.T + t_cw
+    uv = project(cam, Xc)
+    dist = jnp.linalg.norm(Xc, axis=-1)
+    view = (cand_pos - t_wc) / jnp.maximum(dist, 1e-9)[:, None]
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    )
+    in_frustum = (
+        cand_ok
+        & (Xc[:, 2] > 0.1)
+        & in_img
+        & (dist >= 0.8 * cand_mind)
+        & (dist <= 1.2 * cand_maxd)
+        & (jnp.sum(cand_normal * view, axis=-1) >= 0.5)
+    )
+    ratio = cand_maxd / jnp.maximum(dist, 1e-9)
+    lv = jnp.ceil(
+        jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(config.scale_factor)
+    )
+    lv = jnp.clip(lv, 0, config.n_levels - 1).astype(jnp.int32)
+    radius = 4.0 * scale_factors[lv]
+
+    taken = twm.bound_kp & twm.inliers
+    idx, keep = tlm_match(
+        uv[:, 0], uv[:, 1], cand_desc, radius,
+        jnp.maximum(lv - 1, 0), lv, in_frustum,
+        kl.x, kl.y, kl.desc_signed, kl.level, kl.valid, taken,
+    )
+
+    N = kl.x.shape[0]
+    idx_safe = jnp.where(keep, idx, N)
+    Xw_kp = jnp.concatenate([twm.Xw_kp, jnp.zeros((1, 3), twm.Xw_kp.dtype)])
+    Xw_kp = Xw_kp.at[idx_safe].set(cand_pos)[:N]
+    bound = jnp.concatenate([taken, jnp.zeros(1, bool)])
+    bound = bound.at[idx_safe].set(True)[:N]
+
+    # VI motion-only optimization seeded at the TWM visual pose
+    prev = BodyState(
+        vi_buf[0:9].reshape(3, 3), vi_buf[9:12], vi_buf[12:15],
+        vi_buf[15:18], vi_buf[18:21],
+    )
+    prior_H = vi_buf[21:246].reshape(15, 15)
+    pre = unpack_preintegrated(vi_buf[246:544])
+    v0 = vi_buf[544:547]
+    R_wb0, p_w0 = cam_to_body(R_cw, t_cw, R_bc, t_bc)
+    s0 = BodyState(R_wb0, p_w0, v0, prev.bg, prev.ba)
+    obs_uv = jnp.stack([kl.x, kl.y], -1)
+    inv_sigma2 = 1.0 / (scale_factors[kl.level] ** 2)
+    res = pose_inertial_optimize_lastframe(
+        cam, bf, R_bc, t_bc, prev, prior_H, pre, s0,
+        Xw_kp, obs_uv, u_right, inv_sigma2, bound,
+    )
+    st = res.state
+    return TlmStepVIOut(
+        idx, keep, st.R_wb, st.p_w, st.v_w, st.bg, st.ba,
+        res.inliers, res.n_inliers, in_frustum, res.H,
+    )
+
+
+@jax.jit
+def pack_fused_vi_for_host(fd, twm: TwmStepOut, tlm: TlmStepVIOut):
+    """pack_fused_for_host for the inertial frame: the tail carries the
+    optimized body state + the 15x15 marginal prior for the next frame."""
+    k = fd.kps
+    f32 = jnp.stack([
+        k.x, k.y, k.level.astype(jnp.float32), k.angle,
+        fd.u_right, fd.depth, k.valid.astype(jnp.float32),
+        twm.inliers.astype(jnp.float32), tlm.inliers.astype(jnp.float32),
+    ])
+    seg16 = jnp.concatenate([
+        twm.idx.astype(jnp.float16), twm.keep.astype(jnp.float16),
+        tlm.idx.astype(jnp.float16), tlm.keep.astype(jnp.float16),
+        tlm.in_frustum.astype(jnp.float16),
+    ])
+    tail = jnp.concatenate([
+        tlm.R_wb.reshape(-1), tlm.p_w, tlm.v_w, tlm.bg, tlm.ba,
+        twm.n_inliers[None].astype(jnp.float32),
+        tlm.n_inliers[None].astype(jnp.float32),
+        tlm.H.reshape(-1),
+    ])
+    b1 = jax.lax.bitcast_convert_type(f32, jnp.uint8).reshape(-1)
+    b2 = k.desc_packed.reshape(-1)
+    b3 = jax.lax.bitcast_convert_type(seg16, jnp.uint8).reshape(-1)
+    b4 = jax.lax.bitcast_convert_type(tail, jnp.uint8).reshape(-1)
+    return jnp.concatenate([b1, b2, b3, b4])
+
+
+def unpack_fused_vi(buf, N: int, M: int, P: int):
+    """Host-side inverse of pack_fused_vi_for_host. Returns
+    (f32 block, packed desc, idxA, keepA, idxB, keepB, in_frustum,
+    tail (23,) = [R_wb(9), p_w(3), v_w(3), bg(3), ba(3), n_inlA, n_inlB],
+    H (15,15))."""
+    import numpy as np
+
+    o1 = 9 * N * 4
+    o2 = o1 + N * 32
+    o3 = o2 + (2 * M + 3 * P) * 2
+    f32 = buf[:o1].view(np.float32).reshape(9, N)
+    packed = buf[o1:o2].reshape(N, 32)
+    seg = buf[o2:o3].view(np.float16)
+    tail_all = buf[o3:o3 + (23 + 225) * 4].view(np.float32)
+    idxA = seg[:M].astype(np.int64)
+    keepA = seg[M:2 * M] > 0.5
+    idxB = seg[2 * M:2 * M + P].astype(np.int64)
+    keepB = seg[2 * M + P:2 * M + 2 * P] > 0.5
+    in_frustum = seg[2 * M + 2 * P:2 * M + 3 * P] > 0.5
+    return (f32, packed, idxA, keepA, idxB, keepB, in_frustum,
+            tail_all[:23], tail_all[23:].reshape(15, 15))
+
+
 @jax.jit
 def pack_fused_for_host(fd, twm: TwmStepOut, tlm: TlmStepOut):
     """Pack every host-needed output of a fused frame into ONE uint8 buffer

@@ -217,6 +217,161 @@ def delta_position(pre: Preintegrated, b: ImuBias) -> jnp.ndarray:
     return pre.dP + _mv(pre.JPg, dbg) + _mv(pre.JPa, dba)
 
 
+# ---------------------------------------------------------------------------
+# Host (NumPy) preintegration — the tracker's running accumulation.
+#
+# The tracker needs the preintegrated state EVERY frame on the host (IMU
+# prediction, keyframe storage); keeping the running integration on device
+# cost ~11 device->host fetches per frame just to read it back. Frame
+# sample counts are tiny (5-30), so the host loop is microseconds; the
+# device optimizers receive the state as ONE packed upload
+# (pack_preintegrated / unpack_preintegrated).
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+
+def _np_hat(v):
+    return _np.array([[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]],
+                      [-v[1], v[0], 0.0]])
+
+
+def _np_so3_exp(phi):
+    th = _np.linalg.norm(phi)
+    K = _np_hat(phi)
+    if th < 1e-10:
+        return _np.eye(3) + K + 0.5 * K @ K
+    return (_np.eye(3) + _np.sin(th) / th * K
+            + (1.0 - _np.cos(th)) / th**2 * K @ K)
+
+
+def _np_right_jacobian(phi):
+    th = _np.linalg.norm(phi)
+    K = _np_hat(phi)
+    if th < 1e-6:
+        return _np.eye(3) - 0.5 * K
+    return (_np.eye(3) - (1.0 - _np.cos(th)) / th**2 * K
+            + (th - _np.sin(th)) / th**3 * K @ K)
+
+
+class HostPreintegrated:
+    """Mutable float64 mirror of Preintegrated for the tracker's running
+    accumulation (IMU::Preintegrated's role on the host side). Field names
+    match the device NamedTuple so downstream host consumers (IMU init,
+    window BA stacking, atlas serialization) take either."""
+
+    __slots__ = ("dT", "dR", "dV", "dP", "JRg", "JVg", "JVa", "JPg", "JPa",
+                 "C", "b0", "avgA", "avgW")
+
+    class _B:
+        __slots__ = ("bg", "ba")
+
+        def __init__(self, bg, ba):
+            self.bg = _np.asarray(bg, _np.float64)
+            self.ba = _np.asarray(ba, _np.float64)
+
+    def __init__(self, bg=None, ba=None):
+        self.dT = 0.0
+        self.dR = _np.eye(3)
+        self.dV = _np.zeros(3)
+        self.dP = _np.zeros(3)
+        z = _np.zeros((3, 3))
+        self.JRg, self.JVg, self.JVa = z.copy(), z.copy(), z.copy()
+        self.JPg, self.JPa = z.copy(), z.copy()
+        self.C = _np.zeros((15, 15))
+        self.b0 = HostPreintegrated._B(
+            bg if bg is not None else _np.zeros(3),
+            ba if ba is not None else _np.zeros(3),
+        )
+        self.avgA = _np.zeros(3)
+        self.avgW = _np.zeros(3)
+
+    def copy(self) -> "HostPreintegrated":
+        p = HostPreintegrated(self.b0.bg.copy(), self.b0.ba.copy())
+        p.dT = self.dT
+        for f in ("dR", "dV", "dP", "JRg", "JVg", "JVa", "JPg", "JPa", "C",
+                  "avgA", "avgW"):
+            setattr(p, f, getattr(self, f).copy())
+        return p
+
+    def integrate(self, acc, gyro, dts, calib: ImuCalib):
+        """IntegrateNewMeasurement (src/ImuTypes.cc) — identical update
+        order to the device scan step."""
+        sg2 = calib.noise_gyro**2 * calib.freq
+        sa2 = calib.noise_acc**2 * calib.freq
+        Nga = _np.diag([sg2] * 3 + [sa2] * 3)
+        wg2 = calib.walk_gyro**2 / calib.freq
+        wa2 = calib.walk_acc**2 / calib.freq
+        NgaWalk = _np.diag([wg2] * 3 + [wa2] * 3)
+        for a_raw, w_raw, h in zip(_np.asarray(acc, _np.float64),
+                                   _np.asarray(gyro, _np.float64),
+                                   _np.asarray(dts, _np.float64)):
+            if h <= 0:
+                continue
+            a = a_raw - self.b0.ba
+            w = w_raw - self.b0.bg
+            dRa = self.dR @ a
+            self.dP = self.dP + self.dV * h + 0.5 * dRa * h * h
+            self.dV = self.dV + dRa * h
+            Wa = _np_hat(a)
+            dRWa = self.dR @ Wa
+            dRi = _np_so3_exp(w * h)
+            Jr = _np_right_jacobian(w * h)
+            A = _np.eye(9)
+            A[0:3, 0:3] = dRi.T
+            A[3:6, 0:3] = -dRWa * h
+            A[6:9, 0:3] = -0.5 * dRWa * h * h
+            A[6:9, 3:6] = _np.eye(3) * h
+            B = _np.zeros((9, 6))
+            B[0:3, 0:3] = Jr * h
+            B[3:6, 3:6] = self.dR * h
+            B[6:9, 3:6] = 0.5 * self.dR * h * h
+            self.C[:9, :9] = A @ self.C[:9, :9] @ A.T + B @ Nga @ B.T
+            self.C[9:, 9:] += NgaWalk
+            self.JPa = self.JPa + self.JVa * h - 0.5 * self.dR * h * h
+            self.JPg = self.JPg + self.JVg * h - 0.5 * (dRWa @ self.JRg) * h * h
+            self.JVa = self.JVa - self.dR * h
+            self.JVg = self.JVg - (dRWa @ self.JRg) * h
+            self.dR = self.dR @ dRi
+            self.JRg = dRi.T @ self.JRg - Jr * h
+            n_old = max(self.dT * calib.freq, 0.0)
+            self.avgA = (self.avgA * n_old + a_raw) / (n_old + 1.0)
+            self.avgW = (self.avgW * n_old + w_raw) / (n_old + 1.0)
+            self.dT += h
+
+
+PRE_PACKED_SIZE = 298  # 1+9+3+3+5*9+225+3+3+3+3
+
+
+def pack_preintegrated(p) -> _np.ndarray:
+    """HostPreintegrated -> one (298,) float32 buffer (ONE upload for the
+    device optimizers instead of 14 separate arrays)."""
+    return _np.concatenate([
+        [p.dT], p.dR.ravel(), p.dV, p.dP,
+        p.JRg.ravel(), p.JVg.ravel(), p.JVa.ravel(),
+        p.JPg.ravel(), p.JPa.ravel(), p.C.ravel(),
+        p.b0.bg, p.b0.ba, p.avgA, p.avgW,
+    ]).astype(_np.float32)
+
+
+def unpack_preintegrated(buf: jnp.ndarray) -> Preintegrated:
+    """Inverse of pack_preintegrated (jnp slicing; call inside jit)."""
+    o = 1
+    dR = buf[o:o + 9].reshape(3, 3); o += 9
+    dV = buf[o:o + 3]; o += 3
+    dP = buf[o:o + 3]; o += 3
+    Js = []
+    for _ in range(5):
+        Js.append(buf[o:o + 9].reshape(3, 3)); o += 9
+    C = buf[o:o + 225].reshape(15, 15); o += 225
+    bg = buf[o:o + 3]; o += 3
+    ba = buf[o:o + 3]; o += 3
+    avgA = buf[o:o + 3]; o += 3
+    avgW = buf[o:o + 3]; o += 3
+    return Preintegrated(buf[0], dR, dV, dP, *Js, C, ImuBias(bg, ba),
+                         avgA, avgW)
+
+
 def predict_state(
     R_wb: jnp.ndarray, v_w: jnp.ndarray, p_w: jnp.ndarray,
     pre: Preintegrated, b: ImuBias,

@@ -400,6 +400,37 @@ def pose_inertial_optimize_lastframe(
     return VIPoseResult(sc, inl, jnp.sum(inl.astype(jnp.int32)), H_marg)
 
 
+@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+def pose_inertial_optimize_packed(
+    cam, bf, R_bc, t_bc, prev, pre_buf, s0, Xw, obs_uv, obs_ur,
+    inv_sigma2, valid, rounds: int = 4, iters: int = 10,
+):
+    """pose_inertial_optimize with the preintegration delivered as ONE
+    packed (298,) buffer (the tracker keeps the running preintegration on
+    host; a NamedTuple argument would be 14 separate uploads)."""
+    from fasttrack_tpu.imu.preintegration import unpack_preintegrated
+
+    pre = unpack_preintegrated(pre_buf)
+    return pose_inertial_optimize(
+        cam, bf, R_bc, t_bc, prev, pre, s0, Xw, obs_uv, obs_ur,
+        inv_sigma2, valid, rounds=rounds, iters=iters,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+def pose_inertial_optimize_lastframe_packed(
+    cam, bf, R_bc, t_bc, prev0, prior_H, pre_buf, s0, Xw, obs_uv, obs_ur,
+    inv_sigma2, valid, rounds: int = 4, iters: int = 10,
+):
+    from fasttrack_tpu.imu.preintegration import unpack_preintegrated
+
+    pre = unpack_preintegrated(pre_buf)
+    return pose_inertial_optimize_lastframe(
+        cam, bf, R_bc, t_bc, prev0, prior_H, pre, s0, Xw, obs_uv, obs_ur,
+        inv_sigma2, valid, rounds=rounds, iters=iters,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Local inertial BA (Optimizer::LocalInertialBA, Optimizer.cc:2383)
 # ---------------------------------------------------------------------------

@@ -153,6 +153,9 @@ class Tracker:
         # is its own host->device transfer on the remote link).
         self._bf_dev = jnp.float32(self.bf)
         self._minz_dev = jnp.float32(self.baseline)
+        if self.use_imu:
+            self._Rbc_dev = jnp.asarray(np.asarray(imu_calib.R_bc), jnp.float32)
+            self._tbc_dev = jnp.asarray(np.asarray(imu_calib.t_bc), jnp.float32)
 
     # ------------------------------------------------------------------ utils
     def _frame_device_arrays(self, frame: TrackedFrame):
@@ -206,8 +209,6 @@ class Tracker:
         return Xc @ R_wc.T + t_wc
 
     # --------------------------------------------------------- inertial utils
-    _IMU_PAD = 64  # fixed preintegration batch (jit shape stability)
-
     def grab_imu(self, samples):
         """Queue raw IMU samples (System::GrabImuData semantics). Each sample
         is (t, acc(3,), gyro(3,))."""
@@ -217,29 +218,28 @@ class Tracker:
                 (float(t), np.asarray(acc, np.float64), np.asarray(gyro, np.float64))
             )
 
-    def _device_calib(self):
-        if getattr(self, "_calib_dev", None) is None:
-            c = self.imu_calib
-            self._calib_dev = c
-        return self._calib_dev
-
     def _preintegrate_imu(self, timestamp: float):
         """Tracking::PreintegrateIMU (Tracking.cc:1681): integrate queued
         samples up to ``timestamp`` into the running since-last-KF
-        preintegration (device-resident, fixed-size padded batches)."""
-        from fasttrack_tpu.imu.preintegration import (
-            ImuBias, Preintegrated, integrate_measurements,
-        )
+        preintegration.
 
+        The running accumulation lives on the HOST (numpy, microseconds for
+        per-frame sample counts): the tracker reads it every frame for the
+        IMU prediction and keyframe storage, and keeping it device-resident
+        cost ~11 device->host fetches per frame. The device optimizers get
+        it as ONE packed upload (imu.preintegration.pack_preintegrated)."""
+        from fasttrack_tpu.imu.preintegration import HostPreintegrated
+
+        if getattr(self, "_last_preint_ts", None) == timestamp:
+            return  # already integrated for this frame (fused-path fallback)
+        self._last_preint_ts = timestamp
         take = [s for s in self.imu_queue if s[0] <= timestamp]
         self.imu_queue = [s for s in self.imu_queue if s[0] > timestamp]
-        b0 = ImuBias(jnp.asarray(self.bias[0], jnp.float32),
-                     jnp.asarray(self.bias[1], jnp.float32))
         if self.pre_from_kf is None:
-            self.pre_from_kf = Preintegrated.identity(b0)
+            self.pre_from_kf = HostPreintegrated(self.bias[0], self.bias[1])
         # frame-to-frame accumulation restarts every frame (feeds the
         # LastFrame-anchored VI pose optimization, Optimizer.cc:4875)
-        self.pre_from_frame = Preintegrated.identity(b0)
+        self.pre_from_frame = HostPreintegrated(self.bias[0], self.bias[1])
         if not take:
             return
         t_prev = self.last_imu_time
@@ -255,23 +255,8 @@ class Tracker:
         self.last_imu_time = t_prev
         if not accs:
             return
-        P = self._IMU_PAD
-        for start in range(0, len(accs), P):
-            a = np.zeros((P, 3), np.float32)
-            g = np.zeros((P, 3), np.float32)
-            h = np.zeros((P,), np.float32)
-            chunk = slice(start, start + P)
-            n = len(accs[chunk.start:chunk.stop])
-            a[:n] = np.asarray(accs[chunk.start:chunk.stop], np.float32)
-            g[:n] = np.asarray(gyrs[chunk.start:chunk.stop], np.float32)
-            h[:n] = np.asarray(dts[chunk.start:chunk.stop], np.float32)
-            a_d, g_d, h_d = jnp.asarray(a), jnp.asarray(g), jnp.asarray(h)
-            self.pre_from_kf = integrate_measurements(
-                self.pre_from_kf, a_d, g_d, h_d, self._device_calib(),
-            )
-            self.pre_from_frame = integrate_measurements(
-                self.pre_from_frame, a_d, g_d, h_d, self._device_calib(),
-            )
+        self.pre_from_kf.integrate(accs, gyrs, dts, self.imu_calib)
+        self.pre_from_frame.integrate(accs, gyrs, dts, self.imu_calib)
 
     def _body_from_cam(self, R_cw, t_cw):
         """T_wb from T_cw (host). With X_b = R_bc X_c + t_bc (Calib.mTbc):
@@ -292,22 +277,8 @@ class Tracker:
         return R_cw, t_cw
 
     def _pre_host(self):
-        """Host numpy snapshot of the running preintegration (stored on KFs
-        for IMU init / inertial BA)."""
-        import types
-
-        p = self.pre_from_kf
-        return types.SimpleNamespace(
-            dT=float(p.dT), dR=np.asarray(p.dR, np.float64),
-            dV=np.asarray(p.dV, np.float64), dP=np.asarray(p.dP, np.float64),
-            JRg=np.asarray(p.JRg, np.float64), JVg=np.asarray(p.JVg, np.float64),
-            JVa=np.asarray(p.JVa, np.float64), JPg=np.asarray(p.JPg, np.float64),
-            JPa=np.asarray(p.JPa, np.float64), C=np.asarray(p.C, np.float64),
-            b0=types.SimpleNamespace(
-                bg=np.asarray(p.b0.bg, np.float64),
-                ba=np.asarray(p.b0.ba, np.float64),
-            ),
-        )
+        """The running since-KF preintegration (already host-resident)."""
+        return self.pre_from_kf
 
     def _predict_state_imu(self):
         """Tracking::PredictStateIMU (Tracking.cc:1795) on host numpy, from
@@ -376,14 +347,14 @@ class Tracker:
     # -------------------------------------------------- fused one-sync path
     def _fused_eligible(self) -> bool:
         """The single-sync frame path (fused_track module) covers the normal
-        case: OK state, constant-velocity prediction, all device toggles on,
-        pinhole stereo, local-map candidates cached from the previous frame.
-        Everything else (init, reloc, inertial, ablations) stays stepwise."""
-        return (
+        case: OK state, all device toggles on, pinhole stereo, local-map
+        candidates cached from the previous frame; visual frames need the
+        constant-velocity model, inertial frames an initialized IMU with the
+        frame-to-frame anchor ready (prior + last-frame velocity).
+        Everything else (init, reloc, ablations) stays stepwise."""
+        base = (
             self.state == TrackingState.OK
-            and not self.use_imu
             and not self.localization_only
-            and self.velocity is not None
             and self._tlm_cand_ids is not None
             and len(self._tlm_cand_ids) > 0
             and self.kcfg.search_local_points and self.kcfg.pose_estimation
@@ -392,6 +363,16 @@ class Tracker:
             and self.last_frame is not None
             and self.last_frame.R_cw is not None
             and int((self.last_frame.mp_ids >= 0).sum()) >= 10
+        )
+        if not base:
+            return False
+        if not self.use_imu:
+            return self.velocity is not None
+        return (
+            self._imu_ready()
+            and self._prior_H is not None
+            and self.last_frame.v_w is not None
+            and self.atlas.current.change_index == self._last_map_change
         )
 
     _TLM_CAP = 4096  # fixed candidate capacity (one XLA program)
@@ -454,7 +435,8 @@ class Tracker:
             frustum_depth_ok, in_image_np, project_np,
         )
         from fasttrack_tpu.fused_track import (
-            pack_fused_for_host, tlm_step, twm_step, unpack_fused,
+            pack_fused_for_host, pack_fused_vi_for_host, tlm_step,
+            tlm_step_vi, twm_step, unpack_fused, unpack_fused_vi,
         )
 
         m = self.atlas.current
@@ -464,8 +446,15 @@ class Tracker:
             if dt < 0 or (self.use_imu and dt > 3.0):
                 return NotImplemented  # timestamp jumps take the stepwise path
 
-            R_pred = self.velocity[0] @ last.R_cw
-            t_pred = self.velocity[0] @ last.t_cw + self.velocity[1]
+            use_vi = self.use_imu
+            if use_vi:
+                # host preintegration (microseconds) + IMU prediction
+                self._preintegrate_imu(timestamp)
+                R_wb_pred, p_w_pred, v_pred = self._predict_state_imu()
+                R_pred, t_pred = self._cam_from_body(R_wb_pred, p_w_pred)
+            else:
+                R_pred = self.velocity[0] @ last.R_cw
+                t_pred = self.velocity[0] @ last.t_cw + self.velocity[1]
 
             # ---- TWM query block (host; all last-frame state)
             has_mp = last.mp_ids >= 0
@@ -504,18 +493,44 @@ class Tracker:
                 jnp.asarray(q7), jnp.asarray(q_rows),
                 store_dev[0], store_dev[1],
             )
-            tlm = tlm_step(
-                fd.kps, fd.u_right, self.cfg, self._bf_dev, self.camera, twm,
-                jnp.asarray(c_rows_p), jnp.asarray(c_ok), *store_dev,
-            )
-            buf_d = pack_fused_for_host(fd, twm, tlm)
+            H_vi = None
+            if use_vi:
+                from fasttrack_tpu.imu.preintegration import pack_preintegrated
+
+                R1, p1 = self._body_from_cam(last.R_cw, last.t_cw)
+                vi_buf = np.concatenate([
+                    np.asarray(R1, np.float32).ravel(),
+                    np.asarray(p1, np.float32),
+                    np.asarray(last.v_w, np.float32),
+                    np.asarray(self.bias[0], np.float32),
+                    np.asarray(self.bias[1], np.float32),
+                    np.asarray(self._prior_H, np.float32).ravel(),
+                    pack_preintegrated(self.pre_from_frame),
+                    np.asarray(v_pred, np.float32),
+                ]).astype(np.float32)
+                tlm = tlm_step_vi(
+                    fd.kps, fd.u_right, self.cfg, self._bf_dev, self.camera,
+                    twm, jnp.asarray(c_rows_p), jnp.asarray(c_ok), *store_dev,
+                    self._Rbc_dev, self._tbc_dev, jnp.asarray(vi_buf),
+                )
+                buf_d = pack_fused_vi_for_host(fd, twm, tlm)
+            else:
+                tlm = tlm_step(
+                    fd.kps, fd.u_right, self.cfg, self._bf_dev, self.camera,
+                    twm, jnp.asarray(c_rows_p), jnp.asarray(c_ok), *store_dev,
+                )
+                buf_d = pack_fused_for_host(fd, twm, tlm)
             t_sync = time.perf_counter()
             buf = device_fetch(buf_d)
             self.stats.record("sync_ms", (time.perf_counter() - t_sync) * 1e3)
             self.stats.record_count("device_fetches", 1)
             N = int(fd.kps.x.shape[0])
-            (f32, packed, idxA, keepA, idxB, keepB, in_frustum,
-             tail) = unpack_fused(buf, N, len(mids), self._TLM_CAP)
+            if use_vi:
+                (f32, packed, idxA, keepA, idxB, keepB, in_frustum,
+                 tail, H_vi) = unpack_fused_vi(buf, N, len(mids), self._TLM_CAP)
+            else:
+                (f32, packed, idxA, keepA, idxB, keepB, in_frustum,
+                 tail) = unpack_fused(buf, N, len(mids), self._TLM_CAP)
 
             # ---- host bookkeeping
             bits = np.unpackbits(packed, axis=1, bitorder="little")
@@ -527,8 +542,8 @@ class Tracker:
                 u_right=f32[4], depth=f32[5], valid=f32[6] > 0.5,
             )
             inlB_kp = f32[8] > 0.5
-            n_inlA = int(tail[12])
-            n_inlB = int(tail[13])
+            n_inlA = int(tail[21] if use_vi else tail[12])
+            n_inlB = int(tail[22] if use_vi else tail[13])
 
             if n_inlA < 10:
                 # TWM failed — resume the stepwise pipeline with the snapshot
@@ -550,10 +565,22 @@ class Tracker:
             # final pose-opt outlier unbind (Tracking.cc:2996-3038)
             frame.mp_ids[~inlB_kp & (frame.mp_ids >= 0)] = -1
             self.n_inliers = n_inlB
-            frame.R_cw = _orthonormalize(
-                tail[:9].reshape(3, 3).astype(np.float64)
-            )
-            frame.t_cw = tail[9:12].astype(np.float64)
+            if use_vi:
+                R_wb = _orthonormalize(tail[:9].reshape(3, 3).astype(np.float64))
+                p_w = tail[9:12].astype(np.float64)
+                frame.R_cw, frame.t_cw = self._cam_from_body(R_wb, p_w)
+                frame.v_w = tail[12:15].astype(np.float64)
+                frame.bg = tail[15:18].astype(np.float64)
+                frame.ba = tail[18:21].astype(np.float64)
+                self.v_w = frame.v_w
+                self.bias = (frame.bg, frame.ba)
+                self._prior_H = H_vi.astype(np.float64)
+                self._last_map_change = m.change_index
+            else:
+                frame.R_cw = _orthonormalize(
+                    tail[:9].reshape(3, 3).astype(np.float64)
+                )
+                frame.t_cw = tail[9:12].astype(np.float64)
             ok = self.n_inliers >= 20
 
             # MapPoint::IncreaseVisible for frustum hits
@@ -844,7 +871,7 @@ class Tracker:
         kf.imu_bias = (self.bias[0].copy(), self.bias[1].copy())
         kf.prev_kf_id = prev_id
         if prev_id is not None and self.pre_from_kf is not None:
-            kf.preintegrated = self._pre_host()
+            kf.preintegrated = self.pre_from_kf.copy()
         if prev_id is not None:
             prev = self.atlas.current.keyframes.get(prev_id)
             if prev is not None:
@@ -853,12 +880,9 @@ class Tracker:
         R_wb, p_w = self._body_from_cam(kf.R_cw, kf.t_cw)
         self.last_kf_state = (R_wb, p_w, np.asarray(kf.velocity, np.float64))
         # restart the since-KF accumulation at the current bias estimate
-        from fasttrack_tpu.imu.preintegration import ImuBias, Preintegrated
+        from fasttrack_tpu.imu.preintegration import HostPreintegrated
 
-        self.pre_from_kf = Preintegrated.identity(
-            ImuBias(jnp.asarray(self.bias[0], jnp.float32),
-                    jnp.asarray(self.bias[1], jnp.float32))
-        )
+        self.pre_from_kf = HostPreintegrated(self.bias[0], self.bias[1])
 
     # ------------------------------------------------------------- tracking
     def _track(self, frame: TrackedFrame):
@@ -1174,8 +1198,11 @@ class Tracker:
         frame-to-frame preintegration and the ConstraintPoseImu soft prior
         carried from that frame's own solve
         (PoseInertialOptimizationLastFrame, Optimizer.cc:4875)."""
+        from fasttrack_tpu.imu.preintegration import pack_preintegrated
         from fasttrack_tpu.optim.inertial import (
-            BodyState, pose_inertial_optimize, pose_inertial_optimize_lastframe,
+            BodyState,
+            pose_inertial_optimize_lastframe_packed,
+            pose_inertial_optimize_packed,
         )
 
         m_now = self.atlas.current
@@ -1215,20 +1242,21 @@ class Tracker:
             jnp.asarray(self._inv_sigma2[frame.kp_level]),
             jnp.asarray(ok),
         )
+        pre_buf = jnp.asarray(pack_preintegrated(pre_anchor))
         if use_frame_anchor and self._prior_H is not None:
-            res = pose_inertial_optimize_lastframe(
+            res = pose_inertial_optimize_lastframe_packed(
                 self.camera, jnp.float32(self.bf),
                 jnp.asarray(np.asarray(self.imu_calib.R_bc), jnp.float32),
                 jnp.asarray(np.asarray(self.imu_calib.t_bc), jnp.float32),
                 prev, jnp.asarray(self._prior_H, jnp.float32),
-                pre_anchor, s0, *common,
+                pre_buf, s0, *common,
             )
         else:
-            res = pose_inertial_optimize(
+            res = pose_inertial_optimize_packed(
                 self.camera, jnp.float32(self.bf),
                 jnp.asarray(np.asarray(self.imu_calib.R_bc), jnp.float32),
                 jnp.asarray(np.asarray(self.imu_calib.t_bc), jnp.float32),
-                prev, pre_anchor, s0, *common,
+                prev, pre_buf, s0, *common,
             )
         t_sync = time.perf_counter()
         inl = np.asarray(res.inliers)
