@@ -51,8 +51,8 @@ WARMUP = 12
 def main(use_imu: bool = False):
     # the inertial run needs enough frames past IMU init + VIBA for the
     # fused steady state to dominate the measured window
-    n_frames = 150 if use_imu else N_FRAMES
-    warmup = 90 if use_imu else WARMUP
+    n_frames = 120 if use_imu else N_FRAMES
+    warmup = 80 if use_imu else WARMUP
     seq = generate_sequence(n_frames=n_frames, h=480, w=752, seed=0)
     cam = make_pinhole(seq.fx, seq.fy, seq.cx, seq.cy, 752, 480)
     bf = seq.baseline * seq.fx

@@ -320,10 +320,17 @@ class Tracker:
             stacked = np.stack(
                 [np.asarray(img_left, np.uint8), np.asarray(img_right, np.uint8)]
             )
-            fd = process_fisheye_frame_stacked(
-                jnp.asarray(stacked), self.cfg, self.stereo_rig
-            )
-            return self._track_frame(fd, timestamp, t0)
+
+            def dispatch_fisheye():
+                return process_fisheye_frame_stacked(
+                    jnp.asarray(stacked), self.cfg, self.stereo_rig
+                )
+
+            if self._fused_eligible():
+                out = self._track_fused(dispatch_fisheye, timestamp, t0)
+                if out is not NotImplemented:
+                    return out
+            return self._track_frame(dispatch_fisheye(), timestamp, t0)
         if not (self.kcfg.orb_extraction and self.kcfg.stereo_match):
             # At least one front-end stage runs on host: the ablation modes
             # of the reference's toggle matrix (ORBextractor.cc:1374,
@@ -335,14 +342,17 @@ class Tracker:
         stacked = np.stack(
             [np.asarray(img_left, np.uint8), np.asarray(img_right, np.uint8)]
         )
+
+        def dispatch_stereo():
+            return process_stereo_frame_stacked(
+                jnp.asarray(stacked), self.cfg, self._bf_dev, self._minz_dev,
+            )
+
         if self._fused_eligible():
-            out = self._track_stereo_fused(stacked, timestamp, t0)
+            out = self._track_fused(dispatch_stereo, timestamp, t0)
             if out is not NotImplemented:
                 return out
-        fd = process_stereo_frame_stacked(
-            jnp.asarray(stacked), self.cfg, self._bf_dev, self._minz_dev,
-        )
-        return self._track_frame(fd, timestamp, t0)
+        return self._track_frame(dispatch_stereo(), timestamp, t0)
 
     # -------------------------------------------------- fused one-sync path
     def _fused_eligible(self) -> bool:
@@ -359,7 +369,7 @@ class Tracker:
             and len(self._tlm_cand_ids) > 0
             and self.kcfg.search_local_points and self.kcfg.pose_estimation
             and self.kcfg.pose_optimization
-            and self.camera.kind == "pinhole"
+            and self.camera.kind in ("pinhole", "kb8")
             and self.last_frame is not None
             and self.last_frame.R_cw is not None
             and int((self.last_frame.mp_ids >= 0).sum()) >= 10
@@ -422,15 +432,15 @@ class Tracker:
         okq[:j] = True
         return mids, rows_p, okq, rows
 
-    def _track_stereo_fused(self, stacked: np.ndarray, timestamp: float,
-                            t0: float):
+    def _track_fused(self, dispatch_fd, timestamp: float, t0: float):
         """One-sync OK-state frame (fused_track module): host packs every
         query block from last-frame state + the motion prediction, dispatches
-        extract -> stereo -> TWM(match+opt) -> TLM(frustum+match+opt) -> pack
-        asynchronously, then fetches ALL outputs in one batched round trip.
-        Falls back (returns NotImplemented) when preconditions break, and
-        resumes the stepwise pipeline on TWM failure using the already
-        fetched snapshot."""
+        the frame chain (``dispatch_fd``: stereo / fisheye / mono) ->
+        TWM(match+opt) -> TLM(frustum+match+opt) -> pack asynchronously,
+        then fetches ALL outputs in one batched round trip. Falls back
+        (returns NotImplemented) when preconditions break, and resumes the
+        stepwise pipeline on TWM failure using the already fetched
+        snapshot."""
         from fasttrack_tpu.cameras.host import (
             frustum_depth_ok, in_image_np, project_np,
         )
@@ -483,9 +493,7 @@ class Tracker:
 
             # ---- dispatch the full chain (async; no host syncs)
             store_dev = self._store_device(m)
-            fd = process_stereo_frame_stacked(
-                jnp.asarray(stacked), self.cfg, self._bf_dev, self._minz_dev,
-            )
+            fd = dispatch_fd()
             T0 = SE3(jnp.asarray(R_pred, jnp.float32),
                      jnp.asarray(t_pred, jnp.float32))
             twm = twm_step(
@@ -681,8 +689,18 @@ class Tracker:
         from fasttrack_tpu.frame_pipeline import process_mono_frame
 
         t0 = time.perf_counter()
-        fd = process_mono_frame(jnp.asarray(img, jnp.float32), self.cfg)
-        return self._track_frame(fd, timestamp, t0)
+        img_u8 = np.asarray(img, np.uint8)
+
+        def dispatch_mono():
+            return process_mono_frame(
+                jnp.asarray(img_u8).astype(jnp.float32), self.cfg
+            )
+
+        if self._fused_eligible():
+            out = self._track_fused(dispatch_mono, timestamp, t0)
+            if out is not NotImplemented:
+                return out
+        return self._track_frame(dispatch_mono(), timestamp, t0)
 
     def _track_frame(self, fd, timestamp: float, t0: float):
         frame = self._snapshot(fd, timestamp)
