@@ -65,6 +65,25 @@ class TreeVocabulary(NamedTuple):
         return TreeVocabulary(d["nodes"], d["leaves"], d["idf"])
 
 
+def vocabulary_checksum(vocab) -> str:
+    """Stable content hash of a vocabulary's arrays — the analog of the
+    MD5 guard the reference writes next to a saved atlas so a map built
+    with one vocabulary is never silently loaded under another
+    (System.cc:1424-1464, System::CalculateCheckSum). Returns '' for
+    vocab None/False (loop closing disabled)."""
+    if vocab is None or vocab is False:
+        return ""
+    import hashlib
+
+    h = hashlib.md5()
+    if isinstance(vocab, TreeVocabulary):
+        h.update(vocab.nodes_packed.tobytes())
+        h.update(vocab.leaves_packed.tobytes())
+    else:
+        h.update(np.ascontiguousarray(vocab.words_signed).tobytes())
+    return h.hexdigest()
+
+
 def load_vocabulary(path: str):
     """Load either vocabulary flavor by file content."""
     d = np.load(path)

@@ -16,15 +16,25 @@ class Atlas:
         self._next_kf_id = 0
         self._next_mp_id = 0
         self.cameras: list = []
+        self.kf_db = None  # shared KeyFrameDatabase, propagated to every Map
         self.current: Map = self.create_new_map()
 
     def create_new_map(self) -> Map:
         m = Map(self._next_map_id)
         m.init_kf_id = self._next_kf_id
+        m.kf_db = self.kf_db
         self._next_map_id += 1
         self._maps.append(m)
         self.current = m
         return m
+
+    def set_kf_database(self, db):
+        """Wire the shared inverted-index database into every map (current
+        and future) so KF culling/clear erase stale DB entries
+        (KeyFrameDatabase.cc:39-99)."""
+        self.kf_db = db
+        for m in self._maps:
+            m.kf_db = db
 
     def change_map(self, m: Map):
         self.current = m
@@ -53,3 +63,6 @@ class Atlas:
 
     def remove_map(self, m: Map):
         self._maps.remove(m)
+        if self.kf_db is not None:
+            for kid in m.keyframes:
+                self.kf_db.erase(kid)

@@ -88,6 +88,11 @@ class Map:
         self.iniertial_ba2 = False
         self.is_inertial = False
         self.lock = threading.RLock()  # the per-map mMutexMapUpdate
+        # Shared KeyFrameDatabase hook: KeyFrame::SetBadFlag ends in
+        # KeyFrameDatabase::erase (KeyFrame.cc SetBadFlag -> mpKeyFrameDB->erase,
+        # KeyFrameDatabase.cc:39-62) so culled KFs never linger as loop/reloc
+        # candidates. Set by Atlas/System wiring; None when no loop closer.
+        self.kf_db = None
 
     # --- content ------------------------------------------------------------
     def add_keyframe(self, kf: KeyFrame):
@@ -238,6 +243,8 @@ class Map:
             parent.children.discard(kid)
         kf.bad = True
         self.keyframes.pop(kid, None)
+        if self.kf_db is not None:
+            self.kf_db.erase(kid)
 
     def clear(self):
         """Wipe the map's content (Map::clear): unbind every MapPoint from
@@ -253,6 +260,9 @@ class Map:
                 self.store.release_row(row)
             if 0 <= mid < len(self._mid2row):
                 self._mid2row[mid] = -1
+        if self.kf_db is not None:
+            for kid in self.keyframes:
+                self.kf_db.erase(kid)
         self.keyframes.clear()
         self.reference_mappoint_ids.clear()
         self.info_changed()

@@ -148,6 +148,7 @@ class System:
             from fasttrack_tpu.bow.vocabulary import load_default_vocabulary
 
             vocabulary = load_default_vocabulary()
+        self.vocabulary = vocabulary if vocabulary is not False else None
         self.loop_closer = None
         if vocabulary is not None and vocabulary is not False:
             from fasttrack_tpu.loop_closing import LoopCloser
@@ -221,6 +222,7 @@ class System:
         self.local_mapper.tracker = self.tracker
         if self.loop_closer is not None:
             self.tracker.reloc_db = self.loop_closer.db
+            self.atlas.set_kf_database(self.loop_closer.db)
             self.tracker.vocabulary = vocabulary
             self.loop_closer.tracker = self.tracker
             # inertial GBA after loop/merge reuses the mapper's window sweep
@@ -360,6 +362,8 @@ class System:
     # ----------------------------------------------------------- atlas io
     def save_atlas(self, path: str):
         """System::SaveAtlas — pickle of the PreSave'd id-graph."""
+        from fasttrack_tpu.bow.vocabulary import vocabulary_checksum
+
         state = {
             "maps": [],
             "next_ids": (
@@ -367,6 +371,9 @@ class System:
                 self.atlas._next_kf_id,
                 self.atlas._next_mp_id,
             ),
+            # MD5 vocabulary guard (System.cc:1424-1464): a map's BoW vectors
+            # are meaningless under a different vocabulary, so refuse on load.
+            "vocab_checksum": vocabulary_checksum(self.vocabulary),
         }
         for m in self.atlas.maps:
             state["maps"].append(
@@ -424,13 +431,25 @@ class System:
     def load_atlas(self, path: str):
         from fasttrack_tpu.slam_map import KeyFrame, Map, MapPoint
 
+        from fasttrack_tpu.bow.vocabulary import vocabulary_checksum
+
         with open(path, "rb") as f:
             state = pickle.load(f)
+        saved_ck = state.get("vocab_checksum")
+        if saved_ck is not None:
+            ck = vocabulary_checksum(self.vocabulary)
+            if saved_ck and ck and saved_ck != ck:
+                raise ValueError(
+                    f"atlas at {path} was saved with a different vocabulary "
+                    f"(checksum {saved_ck[:12]}… != {ck[:12]}…); refusing to "
+                    "load (System.cc:1466-1479 vocabulary MD5 guard)"
+                )
         self.atlas._maps.clear()
         (self.atlas._next_map_id, self.atlas._next_kf_id,
          self.atlas._next_mp_id) = state["next_ids"]
         for md in state["maps"]:
             m = Map(md["map_id"])
+            m.kf_db = self.atlas.kf_db
             m.init_kf_id = md["init_kf_id"]
             m.imu_initialized = md.get("imu_initialized", False)
             m.is_inertial = md.get("is_inertial", False)
