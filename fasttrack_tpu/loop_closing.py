@@ -377,6 +377,7 @@ class LoopCloser:
         # SearchBySim3 refinement (LoopClosing::DetectCommonRegionsFromBoW
         # second pass): expand matches through the solved Sim3, re-solve.
         extra = self._search_by_sim3(kf, m, cand, m, res)
+        Xa, Xb, ua, ub, sa, sb = X1, X2, uv1, uv2, s1, s2
         if extra is not None and len(extra[0]) >= 10:
             Xa = np.concatenate([X1, extra[0]])
             Xb = np.concatenate([X2, extra[1]])
@@ -390,8 +391,26 @@ class LoopCloser:
             )
             if res2.success and res2.n_inliers >= res.n_inliers:
                 res = res2
+        res = self._refine_sim3_lm(Xa, Xb, ua, ub, sa, sb, res)
         self._correct_loop(kf, cand, res)
         return True
+
+    def _refine_sim3_lm(self, X1, X2, uv1, uv2, s1, s2, res):
+        """Optimizer::OptimizeSim3 (Optimizer.cc:2115): joint LM over the
+        loop Sim3 with both-direction reprojection edges, Huber weights and
+        inlier re-toggling — replaces the Horn re-solve as the final
+        refinement. Falls back to the RANSAC result when LM diverges."""
+        from fasttrack_tpu.optim.sim3_opt import optimize_sim3
+
+        opt = optimize_sim3(
+            X1, X2, uv1, uv2, self.K, self.K, s1, s2,
+            res.s, res.R, res.t,
+            fix_scale=self.fix_scale, min_inliers=max(10, res.n_inliers // 2),
+        )
+        if opt.success:
+            return res._replace(s=opt.s, R=opt.R, t=opt.t,
+                                n_inliers=opt.n_inliers)
+        return res
 
     def _correct_loop(self, kf: KeyFrame, cand: KeyFrame, res):
         """CorrectLoop (LoopClosing.cc:969): compute the corrected Sim3 of
@@ -598,6 +617,8 @@ class LoopCloser:
         )
         if not res.success:
             return False
+        # joint LM refinement of the weld Sim3 (OptimizeSim3 parity)
+        res = self._refine_sim3_lm(X1, X2, uv1, uv2, s1, s2, res)
         # S12: cand-camera -> current-camera. World-to-world:
         # X_w2 = S_w2_w1 X_w1 with S_w2_w1 = T2w2^-1 * S12^-1 * T1w1.
         S12 = (res.s, res.R, res.t)
