@@ -411,19 +411,19 @@ class LocalMapper:
         if self.mesh is not None:
             # Landmark-sharded Schur BA over the configured device mesh
             # (parallel/dist_ba.py): identical math, the reduced camera
-            # system psum'd over ICI. Outlier dropping is left to the next
-            # single-device pass (the dist path returns no chi2 mask).
+            # system psum'd over ICI, including the final chi2 outlier
+            # classification so this path culls exactly like the
+            # single-device one (Optimizer.cc LocalBA post-pass).
             from fasttrack_tpu.optim.local_ba import BAResult
             from fasttrack_tpu.parallel.dist_ba import (
                 distributed_bundle_adjustment,
             )
 
-            poses, points, _ = distributed_bundle_adjustment(
+            poses, points, _, inlier, chi2 = distributed_bundle_adjustment(
                 prob, self.camera, self.bf, self.mesh, iters=8
             )
-            res = BAResult(poses, points, prob.mask,
-                           jnp.zeros_like(prob.inv_sigma2))
-            write_back(m, meta, res, drop_outliers=False)
+            res = BAResult(poses, points, inlier, chi2)
+            write_back(m, meta, res, drop_outliers=True)
         else:
             res = solve(prob, self.camera, jnp.float32(self.bf))
             write_back(m, meta, res)

@@ -140,6 +140,48 @@ def distributed_ba_iteration(
     return SE3(R, t), pts
 
 
+def _ba_shard_chi2(
+    cam: Camera, bf,
+    poses_R, poses_t, points, obs_uv, obs_ur, inv_sigma2, mask,
+):
+    """Per-observation chi2 + inlier classification for one landmark shard
+    (the single-device solver's final pass, local_ba.py:147-150). Purely
+    shard-local: no collective — each device classifies its own landmarks."""
+    from fasttrack_tpu.optim.robust import CHI2_MONO, CHI2_STEREO
+
+    poses = SE3(poses_R, poses_t)
+    r, behind = ba_core.residuals(poses, points, cam, bf, obs_uv, obs_ur)
+    r = jnp.where(jnp.isfinite(r), r, 1e6)
+    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+    delta2 = jnp.where(obs_ur >= 0, CHI2_STEREO, CHI2_MONO)
+    inlier = (mask > 0) & (chi2 <= delta2) & (~behind)
+    return inlier, chi2
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chi2_fn(mesh: Mesh, axis: str, cam_static: tuple):
+    kind, width, height = cam_static
+    shard = P(axis)
+    rep = P()
+
+    def fn(cam_params, bf, poses_R, poses_t, points, obs_uv, obs_ur,
+           inv_sigma2, mask):
+        cam = Camera(kind, cam_params, width, height)
+        return _ba_shard_chi2(
+            cam, bf, poses_R, poses_t, points, obs_uv, obs_ur,
+            inv_sigma2, mask,
+        )
+
+    mapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, shard, shard, shard, shard, shard),
+        out_specs=(shard, shard),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_cost_fn(mesh: Mesh, axis: str, cam_static: tuple):
     kind, width, height = cam_static
@@ -172,8 +214,10 @@ def distributed_bundle_adjustment(
     accept/reject (the reference's g2o LM schedule, Optimizer.cc:1116; here
     each iteration is one shard_map program + one psum'd cost program).
 
-    Returns (poses, points, costs) — costs per accepted state, monotone
-    non-increasing after the first entry."""
+    Returns (poses, points, costs, inlier_mask, chi2) — costs per accepted
+    state (monotone non-increasing after the first entry) plus the final
+    chi2 outlier classification, matching the single-device solver's
+    BAResult so the mapper culls identically through either path."""
     dt = problem.points.dtype
     bfv = jnp.asarray(bf, dt)
     cam_static = (cam.kind, cam.width, cam.height)
@@ -206,7 +250,13 @@ def distributed_bundle_adjustment(
             costs.append(c)
         else:
             lam = lam * 4.0
-    return poses, points, costs
+    chi2_fn = _build_chi2_fn(mesh, axis, cam_static)
+    inlier, chi2 = chi2_fn(
+        cam.params, bfv, poses.R, poses.t, points,
+        problem.obs_uv, problem.obs_ur, problem.inv_sigma2,
+        problem.mask.astype(dt),
+    )
+    return poses, points, costs, inlier, chi2
 
 
 def sharded_extract_batch(images: jnp.ndarray, config, mesh: Mesh, axis: str = "map"):

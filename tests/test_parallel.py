@@ -104,7 +104,7 @@ class TestDistributedBA:
         to the ground truth (the reference's g2o LM schedule semantics)."""
         mesh = make_mesh(8)
         prob, P_true, X_true = make_problem(rng)
-        poses, points, costs = distributed_bundle_adjustment(
+        poses, points, costs, inlier, chi2 = distributed_bundle_adjustment(
             prob, CAM, BF, mesh, iters=12
         )
         assert len(costs) >= 4  # several accepted steps
@@ -128,7 +128,7 @@ class TestDistributedBA:
 
         mesh = make_mesh(8)
         prob, P_true, X_true = make_problem(rng)
-        poses_d, points_d, _ = distributed_bundle_adjustment(
+        poses_d, points_d, _, _, _ = distributed_bundle_adjustment(
             prob, CAM, BF, mesh, iters=12
         )
         res = local_bundle_adjustment(prob, CAM, BF)
@@ -177,7 +177,24 @@ class TestMeshRoutedLocalMapper:
         m = atlas.current
         e0 = mean_reproj_error(m)
         assert e0 > 0.5
+        # corrupt a handful of observations: chi2 outliers the dist path
+        # must now classify and drop exactly like the single-device solver
+        # (Optimizer.cc LocalBA post-pass; VERDICT r4 item 7)
+        tkf = kfs[-2]
+        bad = []
+        for fi in range(0, 12, 3):
+            mid = int(tkf.mp_ids[fi])
+            if mid < 0:
+                continue
+            tkf.kp_uv[fi] = tkf.kp_uv[fi] + np.float32(45.0)
+            bad.append((fi, mid))
+        assert bad
         lm = LocalMapper(atlas, CAM, 1.0, mesh=make_mesh(8))
         lm._local_ba(kfs[-1])
         e1 = mean_reproj_error(m)
         assert e1 < 0.5 * e0, (e0, e1)
+        for fi, mid in bad:
+            mp = m.mappoints.get(mid)
+            dropped = int(tkf.mp_ids[fi]) == -1 or mp is None \
+                or tkf.kid not in mp.observations
+            assert dropped, (fi, mid)

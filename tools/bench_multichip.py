@@ -104,7 +104,7 @@ def main():
         # warmup (compile)
         distributed_bundle_adjustment(prob, cam, bf, mesh, iters=1)
         t0 = time.perf_counter()
-        _, _, costs = distributed_bundle_adjustment(
+        _, _, costs, _, _ = distributed_bundle_adjustment(
             prob, cam, bf, mesh, iters=iters
         )
         dt = time.perf_counter() - t0
