@@ -9,10 +9,16 @@ times the device hot path alone.
 The tracker runs the FUSED single-sync path (fused_track.py) for normal
 OK-state frames: all query blocks packed from last-frame state, the whole
 extract -> stereo -> TWM -> TLM -> pack chain dispatched asynchronously,
-ONE batched device->host fetch per frame (device_fetches_per_frame == 1 in
-the output, counted in Stats). The output splits the per-frame cost into
-sync_ms (the blocking fetch wait = device compute + transport) and host_ms
-(packing, dispatch, map bookkeeping — measured single-digit ms).
+ONE batched device->host fetch per frame. Frames that CREATE a keyframe
+fetch once more (the full TrackedFrame finalize the map needs) — the
+reported fetch histogram separates the two, so "1 fetch per OK frame"
+is measured, not asserted.
+
+Methodology (r5): a LONG loop-trajectory sequence grows the map past the
+TLM candidate cap so steady state is representative; measurement starts
+only after `warmup` frames (compiles + IMU init + VIBA all behind), and
+stage means are computed over the measured window ONLY — mean and median
+must agree, there is no compile pollution.
 
 TRANSPORT CAVEAT (recorded in the output): this build reaches the TPU
 through a remote tunnel measured at ~25-40 ms per operation round trip and
@@ -27,6 +33,7 @@ Writes ONE JSON line; also saved to BENCH_SYSTEM.json by the caller.
 import json
 import sys
 import time
+from collections import Counter
 
 import numpy as np
 
@@ -44,16 +51,20 @@ from fasttrack_tpu.stats import Stats
 from fasttrack_tpu.local_mapping import LocalMapper
 from fasttrack_tpu.tracking import Tracker
 
-N_FRAMES = 60
-WARMUP = 12
+N_FRAMES = 400
+WARMUP = 80
+
+STAGE_KEYS = ("orb_extraction", "twm", "tlm", "tracking_total", "sync_ms")
 
 
-def main(use_imu: bool = False):
-    # the inertial run needs enough frames past IMU init + VIBA for the
-    # fused steady state to dominate the measured window
-    n_frames = 120 if use_imu else N_FRAMES
-    warmup = 80 if use_imu else WARMUP
-    seq = generate_sequence(n_frames=n_frames, h=480, w=752, seed=0)
+def main(use_imu: bool = False, n_frames: int = N_FRAMES,
+         warmup: int = WARMUP):
+    if use_imu:
+        # measurement must start after IMU init (~2 s) + VIBA staging
+        warmup = max(warmup, 150)
+    print(f"rendering {n_frames} frames ...", file=sys.stderr)
+    seq = generate_sequence(n_frames=n_frames, h=480, w=752, seed=0,
+                            trajectory="loop")
     cam = make_pinhole(seq.fx, seq.fy, seq.cx, seq.cy, 752, 480)
     bf = seq.baseline * seq.fx
     atlas = Atlas()
@@ -78,13 +89,19 @@ def main(use_imu: bool = False):
 
     t_prev = -1.0
     times = []
-    sync_before = host_before = fetch_before = 0.0
-    sync_frames, host_frames, fetch_frames = [], [], []
+    sync_before = fetch_before = 0.0
+    sync_frames, host_frames, fetch_frames, kf_frames = [], [], [], []
+    stage_n0 = {}
     t_all0 = time.perf_counter()
     for i, fr in enumerate(seq.frames):
         if use_imu:
             tr.grab_imu(imu_between(t_prev, fr.timestamp))
             t_prev = fr.timestamp
+        if i == warmup:
+            # steady-state window starts HERE: remember each stage series
+            # length so stage means exclude every compile/IMU-init frame
+            stage_n0 = {k: len(stats.series.get(k, ())) for k in STAGE_KEYS}
+        nkf0 = atlas.current.n_keyframes()
         t0 = time.perf_counter()
         tr.track_stereo(fr.left, fr.right, fr.timestamp)
         dt = (time.perf_counter() - t0) * 1e3
@@ -95,10 +112,19 @@ def main(use_imu: bool = False):
             sync_frames.append(sync_now - sync_before)
             host_frames.append(dt - (sync_now - sync_before))
             fetch_frames.append(fetch_now - fetch_before)
+            kf_frames.append(atlas.current.n_keyframes() != nkf0)
         sync_before, fetch_before = sync_now, fetch_now
     wall = time.perf_counter() - t_all0
 
     m = atlas.current
+    kf_arr = np.asarray(kf_frames)
+    fetch_arr = np.asarray(fetch_frames)
+    fetch_ok = fetch_arr[~kf_arr] if (~kf_arr).any() else fetch_arr
+    stage_means = {
+        k: round(float(np.mean(stats.series[k][stage_n0.get(k, 0):])), 2)
+        for k in STAGE_KEYS
+        if len(stats.series.get(k, ())) > stage_n0.get(k, 0)
+    }
     out = {
         "metric": ("system_tracking_ms_per_frame_inertial" if use_imu
                    else "system_tracking_ms_per_frame"),
@@ -108,28 +134,31 @@ def main(use_imu: bool = False):
         "p90_ms": round(float(np.percentile(times, 90)), 2),
         "unit": "ms",
         "n_frames": n_frames,
+        "n_measured": len(times),
+        "warmup_frames": warmup,
         "keyframes": m.n_keyframes(),
         "mappoints": m.n_mappoints(),
         # The split the judge asked for: per-frame blocking device-sync ms
-        # vs pure host ms (everything else: packing, dispatch, map work),
-        # plus the per-frame fetch count (fused path = 1).
+        # vs pure host ms (everything else: packing, dispatch, map work).
         "sync_ms_median": round(float(np.median(sync_frames)), 2),
         "host_ms_median": round(float(np.median(host_frames)), 2),
-        "device_fetches_per_frame_median": float(np.median(fetch_frames)),
-        "device_fetches_per_frame_max": float(np.max(fetch_frames)),
-        "stage_means_ms": {
-            k: round(stats.mean(k), 2)
-            for k in (
-                "orb_extraction", "twm", "tlm", "tracking_total", "sync_ms",
-            )
-        },
+        # fetch accounting: OK frames use the fused single-sync path
+        # (1 fetch); keyframe frames add the TrackedFrame finalize fetch
+        "device_fetches_per_ok_frame_median": float(np.median(fetch_ok)),
+        "device_fetches_histogram": dict(sorted(
+            Counter(float(c) for c in fetch_arr).items()
+        )),
+        "keyframe_frames_in_window": int(kf_arr.sum()),
+        "stage_means_ms_steady_state": stage_means,
         "wall_s": round(wall, 1),
         "backend": str(jax.devices()[0]),
         "note": "fused single-sync tracker: one batched device->host fetch "
-                "per OK frame (fused_track.py); sync_ms is the blocking "
-                "fetch wait, host_ms the remaining per-frame host work",
+                "per OK frame (fused_track.py); keyframe frames fetch once "
+                "more for map insertion; stage means cover ONLY the "
+                "post-warmup window (no compile pollution)",
     }
     print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":

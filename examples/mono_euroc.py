@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--mode", default="1111")
     ap.add_argument("--po", type=int, default=1)
     ap.add_argument("--out", default="results")
+    ap.add_argument("--gt", default=None,
+                    help="ground-truth trajectory (EuRoC CSV or TUM "
+                         "format) for ATE evaluation")
     ap.add_argument("--imu", action="store_true")
     ap.add_argument("--async-mapping", action="store_true")
     args = ap.parse_args()
@@ -67,6 +70,10 @@ def main():
     system.save_stats(args.out)
     print(f"done: {len(seq)} frames in {wall:.1f}s "
           f"({system.stats.mean('tracking_total'):.2f} ms/frame tracking)")
+    if args.gt:
+        from fasttrack_tpu.evaluation import report_ate
+
+        report_ate(system, args.gt, args.out, with_scale=not args.imu)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--mode", default="1111")
     ap.add_argument("--po", type=int, default=1)
     ap.add_argument("--out", default="results")
+    ap.add_argument("--gt", default=None,
+                    help="ground-truth trajectory (EuRoC CSV or TUM "
+                         "format) for ATE evaluation")
     ap.add_argument("--async-mapping", action="store_true")
     args = ap.parse_args()
 
@@ -58,6 +61,10 @@ def main():
     system.save_stats(args.out)
     print(f"done: {len(seq)} frames in {wall:.1f}s "
           f"({system.stats.mean('tracking_total'):.2f} ms/frame tracking)")
+    if args.gt:
+        from fasttrack_tpu.evaluation import report_ate
+
+        report_ate(system, args.gt, args.out, with_scale=False)
 
 
 if __name__ == "__main__":

@@ -58,15 +58,18 @@ class SyntheticSequence(NamedTuple):
     gt_R: np.ndarray       # (F, 3, 3) R_wc
 
 
-def _render(tex, scale_px, K, R_wc, t_wc, h, w, plane_z, camera=None):
+def _render(tex, scale_px, K, R_wc, t_wc, h, w, plane_z, camera=None,
+            fg_centers=((0.0, 0.0),)):
     """Render a two-depth scene from camera pose (R_wc, t_wc).
 
-    Background plane at z=plane_z plus a foreground textured square at
-    z = plane_z - 1.5 covering |x|<1.3, |y|<1.0 (world meters). A single
-    fronto-parallel plane leaves camera-z nearly unobservable for
-    visual-only pose estimation (~20 px/m here) — the estimate random-walks
-    away and tracking collapses; the depth discontinuity restores full 6-DOF
-    observability, like any real indoor scene."""
+    Background plane at z=plane_z plus foreground textured squares at
+    z = plane_z - 1.5, each covering +-1.3 x +-1.0 m around a center in
+    `fg_centers`. A single fronto-parallel plane leaves camera-z nearly
+    unobservable for visual-only pose estimation (~20 px/m here) — the
+    estimate random-walks away and tracking collapses; the depth
+    discontinuity restores full 6-DOF observability, like any real indoor
+    scene. Long loop trajectories pass several centers so depth structure
+    stays in view over the whole lap."""
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
     if camera is not None:
         # arbitrary camera model (e.g. KB8 fisheye) via host unprojection
@@ -91,14 +94,16 @@ def _render(tex, scale_px, K, R_wc, t_wc, h, w, plane_z, camera=None):
     ub = pxb * scale_px + tex.shape[1] / 2
     vb = pyb * scale_px + tex.shape[0] / 2
     img = map_coordinates(tex, [vb, ub], order=1, mode="wrap")
-    # foreground square (offset texture coords decorrelate its pattern)
+    # foreground squares (offset texture coords decorrelate their pattern)
     z_near = plane_z - 1.5
     pxf, pyf = plane_hit(z_near)
-    fg = (np.abs(pxf) < 1.3) & (np.abs(pyf) < 1.0)
-    uf = pxf * scale_px + tex.shape[1] / 2 + tex.shape[1] // 3
-    vf = pyf * scale_px + tex.shape[0] / 2 + tex.shape[0] // 3
-    img_f = map_coordinates(tex, [vf, uf], order=1, mode="wrap")
-    img = np.where(fg, img_f, img)
+    for k, (cx_f, cy_f) in enumerate(fg_centers):
+        fg = (np.abs(pxf - cx_f) < 1.3) & (np.abs(pyf - cy_f) < 1.0)
+        uf = pxf * scale_px + tex.shape[1] / 2 + tex.shape[1] // 3 \
+            + k * (tex.shape[1] // 5)
+        vf = pyf * scale_px + tex.shape[0] / 2 + tex.shape[0] // 3
+        img_f = map_coordinates(tex, [vf, uf], order=1, mode="wrap")
+        img = np.where(fg, img_f, img)
     return img.astype(np.float32)
 
 
@@ -112,7 +117,13 @@ def generate_sequence(
     plane_z=4.0,
     seed=0,
     motion_scale=1.0,
+    trajectory="sweep",
 ) -> SyntheticSequence:
+    """trajectory="sweep" (default): the small oscillation used by the unit
+    tests. trajectory="loop": long lateral laps that RETURN to the start —
+    every lap revisits earlier views, giving loop-closure opportunities and
+    the accumulate-then-correct drift profile of a real EuRoC MH lap
+    (euroc_eval_examples.sh sequences)."""
     rng = np.random.default_rng(seed)
     tex = make_texture(rng)
     # Longer focal keeps stereo well-conditioned: disparity = fx*b/z ~ 7 px
@@ -129,7 +140,7 @@ def generate_sequence(
     # at T=1.5 s it would be ~17 m/s^2 and any visual tracker falls over).
     P = max(T_total, 3.0)
 
-    def pose_at(t):
+    def pose_sweep(t):
         """Smooth lateral+vertical translation with mild yaw/roll."""
         s = motion_scale
         pos = np.array(
@@ -147,14 +158,62 @@ def generate_sequence(
         Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
         return Rz @ Rx, pos
 
+    def pose_loop(t):
+        """Laps of a wide lateral circuit (~5 m across) with gentle height
+        and depth modulation and a slow yaw scan; each lap period P_lap
+        revisits the same views. Peak accel ~0.9 m/s^2 at the defaults."""
+        s = motion_scale
+        P_lap = max(min(T_total / 2.0, 30.0), 10.0)  # >=2 laps when long
+        w1 = 2 * np.pi / P_lap
+        pos = np.array(
+            [
+                2.5 * s * np.sin(w1 * t),
+                0.5 * s * np.sin(2 * w1 * t + 0.7),
+                0.3 * s * (np.cos(w1 * t) - 1.0),
+            ]
+        )
+        yaw = 0.12 * s * np.sin(w1 * t + 0.3)
+        roll = 0.04 * s * np.sin(2 * w1 * t)
+        cy_, sy = np.cos(yaw), np.sin(yaw)
+        cr, sr = np.cos(roll), np.sin(roll)
+        Rz = np.array([[cy_, -sy, 0], [sy, cy_, 0], [0, 0, 1]])
+        Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+        return Rz @ Rx, pos
+
+    def pose_rotation_only(t):
+        """Pure rotation about the camera center (in-plane roll + a gentle
+        scan): zero parallax, so monocular two-view initialization MUST
+        refuse to build a map (TwoViewReconstruction CheckRT parallax
+        gates); the failure mode real handheld footage shows when the user
+        pivots in place."""
+        s = motion_scale
+        roll = 0.25 * s * np.sin(2 * np.pi * t / P)
+        yaw = 0.06 * s * np.sin(4 * np.pi * t / P + 0.4)
+        cy_, sy = np.cos(yaw), np.sin(yaw)
+        cr, sr = np.cos(roll), np.sin(roll)
+        Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+        Rx = np.array([[1, 0, 0], [0, cy_, -sy], [0, sy, cy_]])
+        return Rz @ Rx, np.zeros(3)
+
+    pose_at = {
+        "loop": pose_loop,
+        "rotation_only": pose_rotation_only,
+    }.get(trajectory, pose_sweep)
+    fg_centers = (
+        ((-3.2, 0.0), (0.0, 0.0), (3.2, 0.0)) if trajectory == "loop"
+        else ((0.0, 0.0),)
+    )
+
     frames = []
     gt_pos, gt_R, gt_t = [], [], []
     for i in range(n_frames):
         t = i / fps
         R_wc, t_wc = pose_at(t)
-        left = _render(tex, scale_px, K, R_wc, t_wc, h, w, plane_z)
+        left = _render(tex, scale_px, K, R_wc, t_wc, h, w, plane_z,
+                       fg_centers=fg_centers)
         t_wc_r = t_wc + R_wc @ np.array([baseline, 0, 0])
-        right = _render(tex, scale_px, K, R_wc, t_wc_r, h, w, plane_z)
+        right = _render(tex, scale_px, K, R_wc, t_wc_r, h, w, plane_z,
+                        fg_centers=fg_centers)
         frames.append(SyntheticFrame(t, left, right, R_wc, t_wc))
         gt_pos.append(t_wc)
         gt_R.append(R_wc)

@@ -4,4 +4,7 @@ from fasttrack_tpu.evaluation.ate import (  # noqa: F401
     umeyama_alignment,
     absolute_trajectory_error,
     associate_trajectories,
+    evaluate_trajectory,
+    load_ground_truth,
+    report_ate,
 )

@@ -182,7 +182,9 @@ def tlm_step(
         jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(config.scale_factor)
     )
     lv = jnp.clip(lv, 0, config.n_levels - 1).astype(jnp.int32)
-    radius = 4.0 * scale_factors[lv]
+    # RadiusByViewingCos (ORBmatcher.cc:141): 2.5 px head-on, 4.0 oblique
+    view_cos = jnp.sum(cand_normal * view, axis=-1)
+    radius = jnp.where(view_cos > 0.998, 2.5, 4.0) * scale_factors[lv]
 
     taken = twm.bound_kp & twm.inliers
     idx, keep = tlm_match(
@@ -289,7 +291,9 @@ def tlm_step_vi(
         jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(config.scale_factor)
     )
     lv = jnp.clip(lv, 0, config.n_levels - 1).astype(jnp.int32)
-    radius = 4.0 * scale_factors[lv]
+    # RadiusByViewingCos (ORBmatcher.cc:141): 2.5 px head-on, 4.0 oblique
+    view_cos = jnp.sum(cand_normal * view, axis=-1)
+    radius = jnp.where(view_cos > 0.998, 2.5, 4.0) * scale_factors[lv]
 
     taken = twm.bound_kp & twm.inliers
     idx, keep = tlm_match(

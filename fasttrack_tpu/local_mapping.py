@@ -396,16 +396,28 @@ class LocalMapper:
                 "local_ba: window overflow, dropped %d points (cap %d)",
                 dropped, BA_MAX_POINTS,
             )
-        fixed_ids = []
+        # Fixed frontier: the reference anchors EVERY outside KF observing a
+        # window point (Optimizer.cc:1172). Under the fixed-shape KF cap we
+        # rank frontier candidates by how many window points they observe so
+        # truncation drops the WEAKEST anchors, not whichever came last in
+        # iteration order (VERDICT r4: window edges could go unanchored).
+        anchor_votes: dict[int, int] = {}
         for mid in mp_ids:
             for kid in m.mappoints[mid].observations:
-                if kid not in local_set and kid in m.keyframes and kid not in fixed_ids:
-                    fixed_ids.append(kid)
-            if len(local_ids) + len(fixed_ids) >= BA_MAX_KFS:
-                break
+                if kid not in local_set and kid in m.keyframes:
+                    anchor_votes[kid] = anchor_votes.get(kid, 0) + 1
+        budget = max(BA_MAX_KFS - len(local_ids), 0)
+        fixed_ids = sorted(anchor_votes, key=lambda k: -anchor_votes[k])[:budget]
+        if not fixed_ids and len(local_ids) > 1:
+            # no frontier at all (young map): freeze the oldest window KF as
+            # the gauge anchor so the window cannot drift freely
+            oldest = min(local_ids)
+            local_ids.remove(oldest)
+            local_set.discard(oldest)
+            fixed_ids = [oldest]
 
         prob, meta, _ = assemble_window(
-            m, local_ids, fixed_ids[: BA_MAX_KFS - len(local_ids)],
+            m, local_ids, fixed_ids,
             self.inv_sigma2, BA_MAX_KFS, BA_MAX_POINTS, mp_ids,
         )
         if self.mesh is not None:

@@ -42,7 +42,9 @@ class LoopCloser:
         K: np.ndarray,            # 3x3 intrinsics (pinhole assumption for verification)
         scale_factor: float = 1.2,
         fix_scale: bool = True,   # stereo/RGBD/inertial: scale is observable
-        min_consistency: int = 2, # consecutive-detection requirement (ref: 3)
+        min_consistency: int = 3, # consecutive-detection requirement
+                                  # (LoopClosing.h mnCovisibilityConsistencyTh=3:
+                                  # suppresses false loops on repetitive scenes)
         run_async: bool = False,
         run_gba: bool = True,
         camera=None,              # cameras.models.Camera (enables GBA + fuse)
@@ -203,31 +205,36 @@ class LoopCloser:
             bow, kf_id, connected, covisible=covis_of, n_best=3
         )
         closed = False
+        # Temporal consistency (LoopClosing::DetectLoop consistent groups,
+        # LoopClosing.cc:524-580): a candidate group only advances the count
+        # when it extends a group detected on the PREVIOUS keyframe; groups
+        # not re-detected are dropped, so `min_consistency` really means
+        # consecutive detections, as in mnCovisibilityConsistencyTh.
+        new_consistency: dict[int, int] = {}
         for cand_id in cands:
             cand_map, cand = self._find_kf(cand_id)
             if cand is None:
                 continue
-            # temporal consistency: require repeated hits on the same
-            # covisibility neighborhood (LoopClosing consistency groups)
             group = set(cand.covisible) | {cand_id}
             hit = max(
                 (self._consistency.get(g, 0) for g in group), default=0
             ) + 1
             for g in group:
-                self._consistency[g] = hit
+                new_consistency[g] = max(new_consistency.get(g, 0), hit)
             if hit < self.min_consistency:
                 continue
             if cand_map is m:
                 if self._verify_and_correct(kf, cand_id):
                     closed = True
-                    self._consistency.clear()
+                    new_consistency.clear()
                     break
             else:
                 if self._merge_maps(kf, m, cand_map, cand):
                     closed = True
-                    self._consistency.clear()
+                    new_consistency.clear()
                     break
 
+        self._consistency = new_consistency
         self.db.add(kf_id, bow)
         return closed
 

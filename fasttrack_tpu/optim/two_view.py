@@ -259,10 +259,24 @@ def reconstruct_two_view(
         )
         n_good = int(n_good)
         if best is None or n_good > best[0]:
-            best = (n_good, R, t, np.asarray(X), np.asarray(good))
-    n_good, R, t, X, good = best
-    # Require clear winner and enough points (CheckRT acceptance).
-    success = n_good >= min_triangulated and n_good > 0.7 * inl.sum()
+            best = (n_good, R, t, np.asarray(X), np.asarray(good),
+                    np.asarray(cosp))
+    n_good, R, t, X, good, cosp = best
+    # CheckRT acceptance: clear winner, enough points, AND real parallax —
+    # the reference's minParallax=1.0 deg gate on the 50th-largest-parallax
+    # good point (TwoViewReconstruction.cc:510-517, ReconstructH/F minimum
+    # parallax). Without it, pure-rotation footage builds a degenerate map
+    # out of triangulation noise and poisons the whole session.
+    if n_good > 0:
+        cos_sorted = np.sort(cosp[good])         # ascending cos
+        idx = min(50, n_good - 1)
+        parallax_deg = float(np.degrees(np.arccos(
+            np.clip(cos_sorted[idx], -1.0, 1.0)
+        )))
+    else:
+        parallax_deg = 0.0
+    success = (n_good >= min_triangulated and n_good > 0.7 * inl.sum()
+               and parallax_deg > 1.0)
     tn = t / max(np.linalg.norm(t), 1e-12)
     return TwoViewResult(bool(success), R, tn, X, good, bool(use_h))
 

@@ -12,3 +12,8 @@ from fasttrack_tpu.parallel.dist_ba import (  # noqa: F401
     make_mesh,
     sharded_extract_batch,
 )
+from fasttrack_tpu.parallel.multihost import (  # noqa: F401
+    initialize_distributed,
+    make_global_mesh,
+    shard_ba_problem,
+)

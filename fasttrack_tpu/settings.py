@@ -121,11 +121,19 @@ def load_settings(path: str) -> Settings:
         s.dist2 = dist_of("Camera2")
     if g("Stereo.T_c1_c2") is not None:
         s.T_c1_c2 = _mat(g("Stereo.T_c1_c2"))
-    bf = g("Camera.bf", g("Stereo.b", None))
+    # Camera.bf (legacy format) is focal*baseline; Stereo.b (File.version
+    # 1.0) is the baseline in METERS — the reference multiplies by fx
+    # (Settings.cc:306 `bf_ = b_ * fx`). Conflating them scaled bf by 1/fx
+    # and broke stereo depth through the driver path.
+    bf = g("Camera.bf", None)
+    b = g("Stereo.b", None)
     if bf is not None:
         s.bf = float(bf)
         if s.camera1 is not None:
             s.baseline = s.bf / float(np.asarray(s.camera1.params)[0])
+    elif b is not None and s.camera1 is not None:
+        s.baseline = float(b)
+        s.bf = s.baseline * float(np.asarray(s.camera1.params)[0])
     elif s.T_c1_c2 is not None and s.camera1 is not None:
         s.baseline = float(np.linalg.norm(s.T_c1_c2[:3, 3]))
         s.bf = s.baseline * float(np.asarray(s.camera1.params)[0])

@@ -1521,7 +1521,14 @@ class Tracker:
         v = np.zeros(P_CAP, np.float64)
         u[:j] = uv[:, 0]
         v[:j] = uv[:, 1]
-        radius = 4.0 * self._scale_factors[levels]  # th=1? reference r=th*radius(viewCos)
+        # viewing-angle-dependent window (ORBmatcher::RadiusByViewingCos,
+        # ORBmatcher.cc:141): nearly head-on points (cos > 0.998) search a
+        # tight 2.5-px window, oblique ones 4.0 px, scaled by the predicted
+        # pyramid level; th=1 (SearchLocalPoints default).
+        view_cos = np.sum(st.normal[rows] * view, axis=1)
+        r_base = np.full(P_CAP, 4.0, np.float64)
+        r_base[:j] = np.where(view_cos > 0.998, 2.5, 4.0)
+        radius = r_base * self._scale_factors[levels]
         taken = frame.mp_ids >= 0
         if self.kcfg.search_local_points:
             t_w = time.perf_counter()

@@ -139,3 +139,60 @@ class TestDrivers:
         out = str(tmp_path / "out")
         run_driver("tum_rgbd.py", [yaml, str(root), "--out", out])
         assert_traj(os.path.join(out, "f_traj.txt"))
+
+
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+
+
+class TestAteGate:
+    def test_stereo_euroc_with_gt(self, tmp_path):
+        """The release-gate path (euroc_eval_examples.sh role): render a
+        sequence to the EuRoC on-disk layout with its GT file, run the REAL
+        driver with --gt, and check the printed/saved ATE."""
+        import json
+
+        root = str(tmp_path / "seq")
+        run_driver_path(
+            os.path.join(TOOLS, "render_euroc_synthetic.py"),
+            [root, "--frames", "16", "--no-imu"],
+        )
+        assert os.path.exists(os.path.join(root, "gt.txt"))
+        out = str(tmp_path / "out")
+        run_driver("stereo_euroc.py", [
+            os.path.join(root, "settings.yaml"), root,
+            "--out", out, "--gt", os.path.join(root, "gt.txt"),
+        ])
+        ate_path = os.path.join(out, "ate.json")
+        assert os.path.exists(ate_path)
+        with open(ate_path) as f:
+            ate = json.load(f)
+        assert np.isfinite(ate["ate_rmse"])
+        assert ate["ate_rmse"] < 0.10, ate  # cm-level on the easy scene
+        assert ate["n_associated"] >= 10
+
+    def test_gt_loader_formats(self, tmp_path):
+        from fasttrack_tpu.evaluation import load_ground_truth
+
+        euroc = tmp_path / "euroc_gt.txt"
+        euroc.write_text(
+            "#timestamp [ns],px,py,pz,qw,qx,qy,qz\n"
+            "1403636580863555584.0,4.66,-1.84,0.78,1,0,0,0\n"
+            "1403636580913555456.0,4.67,-1.85,0.79,1,0,0,0\n"
+        )
+        t, p = load_ground_truth(str(euroc))
+        assert len(t) == 2 and p.shape == (2, 3)
+        assert abs(t[0] - 1403636580.8635556) < 1e-3  # ns -> s
+        tum = tmp_path / "tum_gt.txt"
+        tum.write_text("# tum\n1.00 0.1 0.2 0.3 0 0 0 1\n1.05 0.2 0.3 0.4 0 0 0 1\n")
+        t2, p2 = load_ground_truth(str(tum))
+        assert len(t2) == 2 and abs(t2[1] - 1.05) < 1e-9
+        np.testing.assert_allclose(p2[0], [0.1, 0.2, 0.3])
+
+
+def run_driver_path(script_path, argv):
+    old = sys.argv
+    sys.argv = [script_path] + argv
+    try:
+        runpy.run_path(script_path, run_name="__main__")
+    finally:
+        sys.argv = old

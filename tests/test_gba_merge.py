@@ -348,3 +348,51 @@ class TestLoopClosureE2E:
             for k, kf in enumerate(kfs_b)
         )
         assert drift_after < 0.6 * drift_before, (drift_before, drift_after)
+
+
+class TestConsistencyGate:
+    """mnCovisibilityConsistencyTh parity (LoopClosing.cc:524-580): loop
+    verification fires only after `min_consistency` CONSECUTIVE keyframes
+    hit the same candidate covisibility group; a skipped detection resets
+    the chain (false-loop suppression on repetitive texture)."""
+
+    def _closer_with_counter(self, rng):
+        from fasttrack_tpu.bow.vocabulary import train_vocabulary
+
+        atlas = Atlas()
+        # outbound leg, then a revisit leg with its own duplicate map points
+        # (no shared observations -> candidates are not covisibility-excluded)
+        kfs_a, pts_w, descs = build_map(atlas, rng, n_kf=5)
+        kfs_b, _, _ = build_map(atlas, rng, n_kf=5, descs=descs,
+                                pts_w=pts_w, kf_x0=0.4)
+        voc = train_vocabulary(descs, n_words=64, iters=2)
+        lc = LoopCloser(atlas, voc, np.asarray(CAM.K()), camera=CAM,
+                        bf=1.0, run_gba=False)
+        calls = []
+        lc._verify_and_correct = lambda kf, cid: calls.append(cid) or False
+        for kf in kfs_a:
+            lc.db.add(kf.kid, lc._bow(kf))
+        return lc, kfs_b, calls
+
+    def test_needs_three_consecutive_hits(self, rng):
+        lc, kfs, calls = self._closer_with_counter(rng)
+        assert lc.min_consistency == 3  # reference default
+        # revisit: candidate hits on 2 consecutive KFs -> no verification yet
+        lc.process_keyframe(kfs[0].kid)
+        lc.process_keyframe(kfs[1].kid)
+        assert not calls
+        # third consecutive hit -> verification attempted
+        lc.process_keyframe(kfs[2].kid)
+        assert calls
+
+    def test_gap_resets_chain(self, rng):
+        lc, kfs, calls = self._closer_with_counter(rng)
+        lc.process_keyframe(kfs[0].kid)
+        lc.process_keyframe(kfs[1].kid)
+        # a keyframe with no candidates breaks the chain
+        lc._consistency = {}  # simulate a no-candidate keyframe passing by
+        lc.process_keyframe(kfs[2].kid)
+        lc.process_keyframe(kfs[3].kid)
+        assert not calls  # only 2 consecutive again
+        lc.process_keyframe(kfs[4].kid)
+        assert calls

@@ -89,6 +89,83 @@ def make_problem(K=100, L=10240, obs_per_point=8, seed=0):
     return prob, cam, bf, int(mask.sum())
 
 
+def worker(process_id: int, num_processes: int, port: int):
+    """Multi-process (DCN-analog) worker: join the process group, build the
+    SAME seeded window on every process, shard it over the GLOBAL mesh, and
+    run the landmark-sharded LM — cross-process psum over Gloo (on real
+    hardware: DCN between hosts, ICI within a slice)."""
+    from fasttrack_tpu.parallel import (
+        distributed_bundle_adjustment,
+        initialize_distributed,
+        make_global_mesh,
+        shard_ba_problem,
+    )
+
+    joined = initialize_distributed(
+        coordinator_address=f"localhost:{port}",
+        num_processes=num_processes, process_id=process_id,
+    )
+    assert joined
+    K = int(os.environ.get("BMC_K", 40))
+    L = int(os.environ.get("BMC_L", 4096))
+    iters = int(os.environ.get("BMC_ITERS", 6))
+    prob, cam, bf, n_obs = make_problem(K=K, L=L, obs_per_point=6)
+    mesh = make_global_mesh()
+    gprob = shard_ba_problem(prob, mesh)
+    t0 = time.perf_counter()
+    _, _, costs, inlier, _ = distributed_bundle_adjustment(
+        gprob, cam, bf, mesh, iters=iters
+    )
+    dt = time.perf_counter() - t0
+    if process_id == 0:
+        print("MULTIHOST " + json.dumps({
+            "bench": "dist_ba_multihost",
+            "processes": num_processes,
+            "global_devices": len(jax.devices()),
+            "local_devices": len(jax.local_devices()),
+            "window": {"keyframes": K, "points": L, "observations": n_obs},
+            "iters": iters,
+            "seconds": round(dt, 2),
+            "cost_initial": round(float(costs[0]), 3),
+            "cost_final": round(float(costs[-1]), 3),
+        }), flush=True)
+
+
+def run_multiprocess(num_processes: int, devices_per_process: int = 4,
+                     port: int = 43217):
+    """Spawn N local processes x M virtual CPU devices each and run the
+    worker in every one (the multi-host dry-run available without N real
+    hosts). Returns process 0's MULTIHOST json line."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    procs = []
+    for pid in range(num_processes):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={devices_per_process}"
+        )
+        env["JAX_PLATFORMS"] = "cpu"
+        env["BMC_WORKER"] = f"{pid}:{num_processes}:{port}"
+        env["PYTHONPATH"] = (
+            os.path.dirname(os.path.dirname(here))
+            + os.pathsep + env.get("PYTHONPATH", "")
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, here], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed rc={p.returncode}:\n{o[-2000:]}")
+    for line in outs[0].splitlines():
+        if line.startswith("MULTIHOST "):
+            print(line, flush=True)
+            return json.loads(line[len("MULTIHOST "):])
+    raise RuntimeError(f"no MULTIHOST line in worker 0 output:\n{outs[0][-2000:]}")
+
+
 def main():
     from fasttrack_tpu.parallel import distributed_bundle_adjustment, make_mesh
 
@@ -129,4 +206,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BMC_WORKER"):
+        pid, nproc, port = os.environ["BMC_WORKER"].split(":")
+        worker(int(pid), int(nproc), int(port))
+    elif "--processes" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--processes") + 1])
+        run_multiprocess(n)
+    else:
+        main()
