@@ -51,7 +51,7 @@ from fasttrack_tpu.stats import Stats
 from fasttrack_tpu.local_mapping import LocalMapper
 from fasttrack_tpu.tracking import Tracker
 
-N_FRAMES = 400
+N_FRAMES = 240
 WARMUP = 80
 
 STAGE_KEYS = ("orb_extraction", "twm", "tlm", "tracking_total", "sync_ms")

@@ -20,4 +20,16 @@ docstrings cite reference files as `File.cc:line` for parity checking.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU MXU matmuls default to one bf16 pass for float32 inputs — fine for
+# image smoothing, catastrophic for geometry: point-coordinate matmuls
+# round at ~1e-2 relative (centimetres at map scale) and the error rides
+# through projection into every match window and pose solve (measured:
+# 8x worse ATE on the 1000-frame gate vs CPU). Geometry is therefore pinned
+# to full f32 globally; the one genuinely hot image matmul (pyramid
+# resize/blur, ops/pyramid.py) explicitly opts back into DEFAULT, and the
+# Hamming matchers are int8 (unaffected).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from fasttrack_tpu.kernels import KernelConfig, Stage  # noqa: F401

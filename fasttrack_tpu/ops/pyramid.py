@@ -127,14 +127,20 @@ def _apply_pyramid_ops(img: jnp.ndarray, config: PyramidConfig) -> jnp.ndarray:
     rows = jnp.asarray(rows_np)
     cols = jnp.asarray(cols_np)
     # (2L, H0, H0) @ (H0, W0) -> (2L, H0, W0)   [batched row resample+blur]
+    # precision DEFAULT (single bf16 pass): gray values are 0-255, the
+    # ~0.5-level rounding is far below FAST's threshold — this pair of
+    # matmuls is the hot-path FLOPs and must ride the MXU at full rate
+    # (the package pins geometry matmuls to HIGHEST globally, __init__.py).
     tmp = jax.lax.dot_general(
         rows, img, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     # (2L, H0, W0) @ (2L, W0, W0)^T -> (2L, H0, W0)  [batched col pass]
     out = jax.lax.dot_general(
         tmp, cols, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     return out
 

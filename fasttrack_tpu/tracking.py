@@ -1444,7 +1444,14 @@ class Tracker:
         if not mp_arrays:
             return local_kfs, np.empty(0, np.int64)
         allm = np.concatenate(mp_arrays)
-        mp_ids = np.unique(allm[allm >= 0])
+        allm = allm[allm >= 0]
+        # Dedupe PRESERVING covisibility order (seeds' points first): the
+        # TLM candidate cap truncates this list, so sorted-by-id order would
+        # keep the OLDEST map points instead of the ones covisible with the
+        # current view — on long sessions the tracker would then search
+        # against far-away history and starve the live view of candidates.
+        _, first_idx = np.unique(allm, return_index=True)
+        mp_ids = allm[np.sort(first_idx)]
         return local_kfs, mp_ids
 
     def _track_local_map(self, frame: TrackedFrame) -> bool:

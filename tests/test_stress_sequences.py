@@ -106,3 +106,67 @@ class TestRotationOnlyMono:
             sys_.track_monocular(fr.left, t0 + 0.05 + fr.timestamp)
             states.append(sys_.tracking_state)
         assert TrackingState.OK in states, states
+
+
+class TestTlmCapOrdering:
+    def test_candidates_ordered_by_covisibility_not_id(self):
+        """Local-map candidates must come seeds-first so the fixed TLM cap
+        (4096) truncates distant history, not the live view. A plain
+        np.unique sorted by id would keep the OLDEST points (regression:
+        long-session frame-900 degradation on the 1000-frame gate)."""
+        from fasttrack_tpu.cameras import make_pinhole
+        from fasttrack_tpu.ops import OrbConfig
+        from fasttrack_tpu.slam_map import Atlas, MapPoint
+        from fasttrack_tpu.tracking import TrackedFrame, Tracker
+        from tests.test_robustness import make_kf
+
+        atlas = Atlas()
+        m = atlas.current
+        rng = np.random.default_rng(0)
+
+        def add_points(kf, ids_start, n):
+            mids = []
+            for i in range(n):
+                mp = MapPoint(ids_start + i,
+                              rng.uniform(-1, 1, 3) + [0, 0, 5], kf.kid,
+                              kf.kid)
+                m.add_mappoint(mp)
+                mp.add_observation(kf.kid, i)
+                kf.mp_ids[i] = mp.mid
+                mids.append(mp.mid)
+            return mids
+
+        # old KF with LOW ids, far away; seed KF with HIGH ids
+        kf_old = make_kf(atlas, [50, 0, 0], np.zeros((56, 2)),
+                         np.ones((56, 256), np.int8))
+        old_ids = add_points(kf_old, 0, 40)
+        kf_seed = make_kf(atlas, [0, 0, 0], np.zeros((40, 2)),
+                          np.ones((40, 256), np.int8))
+        seed_ids = add_points(kf_seed, 10_000, 40)
+        # covisibility link: kf_old also observes 16 of the seed's points
+        for i in range(16):
+            mp = m.mappoints[seed_ids[i]]
+            mp.add_observation(kf_old.kid, 40 + i)
+            kf_old.mp_ids[40 + i] = mp.mid
+        m.update_connections(kf_seed)
+
+        cam = make_pinhole(160.0, 160.0, 160.0, 120.0, 320, 240)
+        tr = Tracker(cam, OrbConfig(height=240, width=320, n_features=64,
+                                    n_levels=2), bf=32.0, atlas=atlas)
+        frame = TrackedFrame(
+            frame_id=0, timestamp=0.0,
+            kp_uv=np.zeros((40, 2), np.float32),
+            kp_level=np.zeros(40, np.int32),
+            kp_angle=np.zeros(40, np.float32),
+            desc_packed=np.zeros((40, 32), np.uint8),
+            desc_signed=np.zeros((40, 256), np.int8),
+            u_right=np.full(40, -1.0, np.float32),
+            depth=np.full(40, -1.0, np.float32),
+            valid=np.ones(40, bool),
+            mp_ids=np.asarray(seed_ids[:20] + [-1] * 20),
+        )
+        _, mp_ids = tr._local_map_ids(frame)
+        # the seed KF's (high-id) points must come FIRST
+        n_seed = len(seed_ids)
+        assert set(mp_ids[:n_seed]) == set(seed_ids), mp_ids[:10]
+        assert set(old_ids) <= set(mp_ids[n_seed:])
