@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--results", default="Results")
     ap.add_argument("--euroc", default=None, help="EuRoC sequence dir")
     ap.add_argument("--settings", default=None, help="YAML (with --euroc)")
+    ap.add_argument("--gt", default=None,
+                    help="ground-truth file: every run also reports ATE "
+                         "(euroc_eval_examples.sh role)")
     args = ap.parse_args()
 
     for mode, po, it in itertools.product(args.modes, args.po, range(args.iters)):
@@ -39,6 +42,8 @@ def main():
                    args.settings, args.euroc,
                    "--mode", mode, "--po", "1" if po == "on" else "0",
                    "--out", out]
+            if args.gt:
+                cmd += ["--gt", args.gt]
         else:
             cmd = [sys.executable, os.path.join(HERE, "run_synthetic.py"),
                    "--frames", str(args.frames),
@@ -62,6 +67,14 @@ def main():
                     times.append(s["tracking_total"]["mean"])
         if times:
             summary[f"{mode}/po_{po}"] = sum(times) / len(times)
+        ates = []
+        for it in range(args.iters):
+            p = os.path.join(base, f"run{it}", "ate.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    ates.append(json.load(f)["ate_rmse"])
+        if ates:
+            summary[f"{mode}/po_{po}/ate_rmse"] = sum(ates) / len(ates)
     print(json.dumps(summary, indent=2))
     with open(os.path.join(args.results, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
