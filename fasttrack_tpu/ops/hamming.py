@@ -32,6 +32,7 @@ def hamming_matrix(s1: jnp.ndarray, s2: jnp.ndarray) -> jnp.ndarray:
         s2,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # int8: exact at any precision
     )
     return (N_BITS - dot) // 2
 
@@ -49,6 +50,7 @@ def hamming_matrix_f32(s1: jnp.ndarray, s2: jnp.ndarray) -> jnp.ndarray:
         s2,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # int8: exact at any precision
     )
     return ((N_BITS - dot) // 2).astype(jnp.float32)
 

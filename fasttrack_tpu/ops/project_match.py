@@ -260,6 +260,41 @@ def epipolar_match(
     return best_idx, keep
 
 
+@jax.jit
+def epipolar_match_tri_batch(
+    u1, v1, d1, f1,           # (B, N1), (B, N1, 256), (B, N1) neighbor KFs
+    u2, v2, d2, f2,           # (N2,), (N2, 256), (N2,)   current KF (shared)
+    F12, sigma2_2,            # (B, 3, 3), (N2,)
+    R21, t21,                 # (B, 3, 3), (B, 3)  camera2<-camera1 per pair
+    fx, fy, cx, cy,
+):
+    """Batched SearchForTriangulation + DLT triangulation: ALL covisible
+    neighbor pairs of one new keyframe as ONE XLA program (one dispatch +
+    one fetch instead of 2 sequential round trips per neighbor — the
+    keyframe-creation critical path measured ~18 s/KF over the remote
+    tunnel as a Python loop, ~1 s batched). Returns (idx2 (B,N1) i32,
+    keep (B,N1) bool, X1 (B,N1,3) f32 points in each neighbor's frame —
+    rows with keep=False are garbage and must be masked by the host."""
+    from fasttrack_tpu.cameras.stereo import triangulate_two_view
+    from fasttrack_tpu.geometry import SE3
+
+    def per(u1b, v1b, d1b, f1b, F12b, R21b, t21b):
+        idx2, keep = epipolar_match(
+            u1b, v1b, d1b, f1b, u2, v2, d2, f2, F12b, sigma2_2
+        )
+        r1 = jnp.stack(
+            [(u1b - cx) / fx, (v1b - cy) / fy, jnp.ones_like(u1b)], -1
+        )
+        u2s, v2s = u2[idx2], v2[idx2]
+        r2 = jnp.stack(
+            [(u2s - cx) / fx, (v2s - cy) / fy, jnp.ones_like(u2s)], -1
+        )
+        X1 = triangulate_two_view(r1, r2, SE3(R21b, t21b))
+        return idx2, keep, X1
+
+    return jax.vmap(per)(u1, v1, d1, f1, F12, R21, t21)
+
+
 def resolve_duplicates(res: MatchResult, n_keypoints: int) -> jnp.ndarray:
     """Per-keypoint winner among queries that chose it (min distance), like
     the reference host loop that overwrites F.mvpMapPoints[idx].

@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--fps", type=float, default=20.0)
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--no-imu", action="store_true")
+    ap.add_argument("--blackout-at", type=int, default=None,
+                    help="frame index where a featureless-gray stretch "
+                         "starts (drives the LOST -> reloc/new-map path "
+                         "through the real driver, Tracking.cc:2038-2089)")
+    ap.add_argument("--blackout-len", type=int, default=12)
     args = ap.parse_args()
 
     from PIL import Image
@@ -70,9 +75,13 @@ def main():
         "#timestamp [ns],p_RS_R_x [m],p_RS_R_y [m],p_RS_R_z [m],"
         "q_RS_w [],q_RS_x [],q_RS_y [],q_RS_z []"
     ]
-    for fr in seq.frames:
+    for i, fr in enumerate(seq.frames):
         ns = BASE_NS + int(round(fr.timestamp * 1e9))
+        blank = (args.blackout_at is not None
+                 and args.blackout_at <= i < args.blackout_at + args.blackout_len)
         for path, img in ((cam0, fr.left), (cam1, fr.right)):
+            if blank:
+                img = np.full_like(img, 127.0)
             Image.fromarray(
                 np.clip(img, 0, 255).astype(np.uint8)
             ).save(os.path.join(path, f"{ns}.png"))
