@@ -192,3 +192,97 @@ class TestFisheye:
         d_dup = jnp.concatenate([d, d[:1]], axis=0)  # right has a duplicate of 0
         res = match_fisheye(d[:1], jnp.ones(1, bool), d_dup, jnp.ones(9, bool))
         assert not bool(res.valid[0])
+
+
+class TestEpipolarBatch:
+    """epipolar_match_tri_batch must agree with per-pair epipolar_match +
+    triangulate_two_view (it replaced the sequential per-neighbor loop on
+    the keyframe-creation critical path)."""
+
+    def _pair(self, rng, n1=96, n2=96):
+        fx = fy = 300.0
+        cx, cy = 160.0, 120.0
+        X = np.stack([rng.uniform(-2, 2, n1), rng.uniform(-1.5, 1.5, n1),
+                      rng.uniform(4, 8, n1)], -1)
+        R21 = np.eye(3)
+        t21 = np.array([0.3, 0.0, 0.0])
+        uv1 = np.stack([fx * X[:, 0] / X[:, 2] + cx,
+                        fy * X[:, 1] / X[:, 2] + cy], -1)
+        X2 = X @ R21.T + t21
+        uv2 = np.stack([fx * X2[:, 0] / X2[:, 2] + cx,
+                        fy * X2[:, 1] / X2[:, 2] + cy], -1)
+        tx = np.array([[0, -t21[2], t21[1]], [t21[2], 0, -t21[0]],
+                       [-t21[1], t21[0], 0]])
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        Kinv = np.linalg.inv(K)
+        F12 = Kinv.T @ (tx @ R21) @ Kinv
+        desc = rand_desc(rng, n1)
+        return (uv1, uv2, desc, F12, R21, t21, X,
+                (fx, fy, cx, cy))
+
+    def test_matches_per_pair_kernels(self, rng):
+        from fasttrack_tpu.cameras.stereo import triangulate_two_view
+        from fasttrack_tpu.geometry import SE3
+        from fasttrack_tpu.ops.project_match import (
+            epipolar_match, epipolar_match_tri_batch,
+        )
+
+        B = 3
+        pairs = [self._pair(rng) for _ in range(B)]
+        fx, fy, cx, cy = pairs[0][7]
+        n1 = n2 = 96
+        u1 = np.stack([p[0][:, 0] for p in pairs]).astype(np.float32)
+        v1 = np.stack([p[0][:, 1] for p in pairs]).astype(np.float32)
+        d1 = np.stack([np.asarray(p[2]) for p in pairs])
+        f1 = np.ones((B, n1), bool)
+        # shared current KF = pair 0's image-2 keypoints and descriptors
+        u2 = pairs[0][1][:, 0].astype(np.float32)
+        v2 = pairs[0][1][:, 1].astype(np.float32)
+        d2 = np.asarray(pairs[0][2])
+        f2 = np.ones(n2, bool)
+        F12 = np.stack([p[3] for p in pairs]).astype(np.float32)
+        R21 = np.stack([p[4] for p in pairs]).astype(np.float32)
+        t21 = np.stack([p[5] for p in pairs]).astype(np.float32)
+        var2 = np.ones(n2, np.float32)
+
+        idx_b, keep_b, X1_b = epipolar_match_tri_batch(
+            jnp.asarray(u1), jnp.asarray(v1), jnp.asarray(d1),
+            jnp.asarray(f1), jnp.asarray(u2), jnp.asarray(v2),
+            jnp.asarray(d2), jnp.asarray(f2), jnp.asarray(F12),
+            jnp.asarray(var2), jnp.asarray(R21), jnp.asarray(t21),
+            jnp.float32(fx), jnp.float32(fy), jnp.float32(cx),
+            jnp.float32(cy),
+        )
+        for b in range(B):
+            idx_s, keep_s = epipolar_match(
+                jnp.asarray(u1[b]), jnp.asarray(v1[b]), jnp.asarray(d1[b]),
+                jnp.asarray(f1[b]), jnp.asarray(u2), jnp.asarray(v2),
+                jnp.asarray(d2), jnp.asarray(f2), jnp.asarray(F12[b]),
+                jnp.asarray(var2),
+            )
+            np.testing.assert_array_equal(np.asarray(keep_b)[b],
+                                          np.asarray(keep_s))
+            km = np.asarray(keep_s)
+            np.testing.assert_array_equal(np.asarray(idx_b)[b][km],
+                                          np.asarray(idx_s)[km])
+            # triangulation parity for kept rows
+            i1 = np.where(km)[0]
+            i2 = np.asarray(idx_s)[i1]
+            r1 = np.stack([(u1[b][i1] - cx) / fx, (v1[b][i1] - cy) / fy,
+                           np.ones(len(i1))], -1).astype(np.float32)
+            r2 = np.stack([(u2[i2] - cx) / fx, (v2[i2] - cy) / fy,
+                           np.ones(len(i2))], -1).astype(np.float32)
+            X_ref = np.asarray(triangulate_two_view(
+                jnp.asarray(r1), jnp.asarray(r2),
+                SE3(jnp.asarray(R21[b]), jnp.asarray(t21[b])),
+            ))
+            np.testing.assert_allclose(np.asarray(X1_b)[b][i1], X_ref,
+                                       atol=1e-3)
+        # pair 0 is self-consistent geometry: its matches triangulate near
+        # the true 3D points
+        b0_keep = np.asarray(keep_b)[0]
+        assert b0_keep.sum() >= 50
+        X_true = pairs[0][6]
+        err = np.linalg.norm(np.asarray(X1_b)[0][b0_keep]
+                             - X_true[b0_keep], axis=1)
+        assert np.median(err) < 0.05
