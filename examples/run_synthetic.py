@@ -75,6 +75,11 @@ def main():
     print(f"\ntracked {len(traj)}/{args.frames} frames | "
           f"mean tracking {ms:.2f} ms/frame | wall {wall:.1f}s")
     print(f"ATE rmse={ate['rmse']*100:.2f} cm  (n={ate['n']})")
+    import json
+
+    with open(os.path.join(args.out, "ate.json"), "w") as f:
+        json.dump({"ate_rmse": ate["rmse"], "n_associated": ate["n"],
+                   "gt": "synthetic-exact"}, f, indent=1)
     print(f"keyframes={system.atlas.current.n_keyframes()} "
           f"mappoints={system.atlas.current.n_mappoints()}")
     print(f"outputs in {args.out}")
