@@ -170,6 +170,37 @@ class TestAteGate:
         assert ate["ate_rmse"] < 0.10, ate  # cm-level on the easy scene
         assert ate["n_associated"] >= 10
 
+    def test_stereo_inertial_euroc_with_gt(self, tmp_path):
+        """The stereo-INERTIAL gate path (stereo_inertial_euroc.cc role):
+        the rendered layout's settings.yaml carries the IMU block
+        (IMU.T_b_c1 / noise / frequency, Settings.cc IMU.* keys), the
+        EuRoC imu0/data.csv loads, and the driver's --imu path runs the
+        IMU_STEREO sensor end-to-end with ATE."""
+        import json
+
+        from fasttrack_tpu.settings import load_settings
+
+        root = str(tmp_path / "seq")
+        run_driver_path(
+            os.path.join(TOOLS, "render_euroc_synthetic.py"),
+            [root, "--frames", "16"],
+        )
+        assert os.path.exists(os.path.join(root, "mav0", "imu0", "data.csv"))
+        s = load_settings(os.path.join(root, "settings.yaml"))
+        assert s.T_b_c1 is not None and s.T_b_c1.shape == (4, 4)
+        np.testing.assert_allclose(s.T_b_c1, np.eye(4))
+        assert s.imu_frequency == 200.0
+        out = str(tmp_path / "out")
+        run_driver("stereo_euroc.py", [
+            os.path.join(root, "settings.yaml"), root, "--imu",
+            "--out", out, "--gt", os.path.join(root, "gt.txt"),
+        ])
+        with open(os.path.join(out, "ate.json")) as f:
+            ate = json.load(f)
+        assert np.isfinite(ate["ate_rmse"])
+        assert ate["ate_rmse"] < 0.10, ate
+        assert ate["n_associated"] >= 10
+
     def test_gt_loader_formats(self, tmp_path):
         from fasttrack_tpu.evaluation import load_ground_truth
 

@@ -126,6 +126,25 @@ ORBextractor.nFeatures: 512
 ORBextractor.scaleFactor: 1.2
 ORBextractor.nLevels: 4
 """)
+        if not args.no_imu:
+            # Synthetic body frame == cam0 frame (datasets/synthetic.py
+            # IMU generation); the stream itself is noise-free, so the
+            # noise densities below only size the preintegration
+            # covariance (EuRoC-like values, Settings.cc IMU.* keys).
+            f.write("""IMU.T_b_c1: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [1.0, 0.0, 0.0, 0.0,
+          0.0, 1.0, 0.0, 0.0,
+          0.0, 0.0, 1.0, 0.0,
+          0.0, 0.0, 0.0, 1.0]
+IMU.NoiseGyro: 1.7e-4
+IMU.NoiseAcc: 2.0e-3
+IMU.GyroWalk: 1.9e-5
+IMU.AccWalk: 3.0e-3
+IMU.Frequency: 200.0
+""")
     print(f"wrote {len(seq.frames)} stereo frames + gt + settings under "
           f"{args.out}")
 
