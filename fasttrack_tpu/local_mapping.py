@@ -536,7 +536,12 @@ class LocalMapper:
             p_w.append(pb)
             if i > 0:
                 preints.append(k.preintegrated)
-        res = initialize_imu(R_wb, p_w, preints, mono_scale=self.monocular)
+        # First init: acc bias pinned to zero (the reference's priorA=1e10
+        # first InitializeIMU call, LocalMapping.cc:181) — over a 2 s window
+        # ba is degenerate with the gravity direction; the VIBA-stage
+        # refits (prior_a 1.0 -> 0.1) release it once motion accumulates.
+        res = initialize_imu(R_wb, p_w, preints, mono_scale=self.monocular,
+                             estimate_ba=False)
         if not res.success:
             return
         # Align gravity (and scale): world' = s * R_gw * world.
@@ -603,9 +608,16 @@ class LocalMapper:
     def _local_inertial_ba(self, kf: KeyFrame, window: int = 8):
         """Optimizer::LocalInertialBA (Optimizer.cc:2383): temporal window of
         recent KFs with per-KF (pose, velocity, bias) states, inertial edges
-        between consecutive KFs, visual edges to the window's map points."""
+        between consecutive KFs, visual edges to the window's map points,
+        and FIXED out-of-window anchor KFs observing those points (the
+        reference's lFixedKeyFrames, Optimizer.cc:2446-2475). Without the
+        anchors the window is tied to the rest of the map only through the
+        single gauge KF, and every LIBA call can warp the recent map
+        consistently with a window-wide pose/bias shift — measured as a
+        steady ~1-sigma-per-frame accelerometer-bias drift that eventually
+        collapses tracking on revisit trajectories."""
         chain = self._temporal_chain(kf, max_len=window + 1)
-        self._inertial_window_ba(chain, window)
+        self._inertial_window_ba(chain, window, n_anchors=4)
 
     def _full_inertial_ba(self, kf: KeyFrame, window: int = 8,
                           should_abort=None, lock=None):
@@ -667,7 +679,8 @@ class LocalMapper:
                 break
         return rounds
 
-    def _inertial_window_ba(self, chain, window: int = 8):
+    def _inertial_window_ba(self, chain, window: int = 8,
+                            n_anchors: int = 0):
         import jax.numpy as jnp
 
         from fasttrack_tpu.imu.preintegration import ImuBias, Preintegrated
@@ -688,9 +701,12 @@ class LocalMapper:
             return
         # Fixed window size: ONE XLA compile regardless of how many KFs the
         # temporal chain actually has (front-padded with the oldest state,
-        # masked out via state_free / pre_valid).
-        K = window + 1
-        chain = chain[-K:]
+        # masked out via state_free / pre_valid). ``n_anchors`` extra padded
+        # slots at the front hold FIXED out-of-window anchor KFs with visual
+        # observations only — no inertial edges reach the padding, so the
+        # anchor slots reuse the padding machinery as-is.
+        K = n_anchors + window + 1
+        chain = chain[-(window + 1):]
         n_real = len(chain)
         pad = K - n_real
         R_bc = np.asarray(self.imu_calib.R_bc, np.float64)
@@ -774,6 +790,24 @@ class LocalMapper:
                 "local_inertial_ba: window overflow, dropped %d points (cap %d)",
                 dropped, L,
             )
+
+        if n_anchors > 0:
+            # Fixed frontier (Optimizer.cc:2446-2475 lFixedKeyFrames): the
+            # out-of-window KFs observing the most window points occupy the
+            # first padded slots — visual edges only, state_free False.
+            chain_ids = {k.kid for k in chain}
+            votes: dict[int, int] = {}
+            for mid in mp_ids:
+                for kid in m.mappoints[mid].observations:
+                    if kid not in chain_ids and kid in m.keyframes:
+                        votes[kid] = votes.get(kid, 0) + 1
+            top = sorted(votes, key=lambda k: -votes[k])[:min(n_anchors, pad)]
+            for j, kid in enumerate(top):
+                ak = m.keyframes[kid]
+                Rb, pb = _body_from_cam_np(ak.R_cw, ak.t_cw, R_bc, t_bc)
+                R_wb[j] = Rb
+                p_w[j] = pb
+                kf_index[kid] = j
 
         pts = np.zeros((L, 3), np.float32)
         pt_free = np.zeros(L, bool)

@@ -252,6 +252,18 @@ class Tracker:
             accs.append(acc)
             gyrs.append(gyro)
             dts.append(dt)
+        if accs and t_prev < timestamp - 1e-9:
+            # Close the interval exactly at the image timestamp with a
+            # zero-order-hold partial step (Tracking.cc:1731-1772 tstep
+            # split). Without this, sample/frame boundary jitter makes the
+            # preintegration span != the visual state spacing, and the
+            # gravity term of that mismatch (g*ddt ~ 0.05 m/s for one
+            # 200 Hz sample) is a ~100-sigma systematic error that the VI
+            # optimizer dumps into the accelerometer bias.
+            accs.append(accs[-1])
+            gyrs.append(gyrs[-1])
+            dts.append(timestamp - t_prev)
+            t_prev = timestamp
         self.last_imu_time = t_prev
         if not accs:
             return

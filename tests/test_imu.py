@@ -133,3 +133,61 @@ class TestPreintegration:
         np.testing.assert_allclose(
             np.asarray(pre_inc.dP), np.asarray(pre_batch.dP), atol=1e-5
         )
+
+
+class TestFrameBoundaryCoverage:
+    """Tracker._preintegrate_imu must cover EXACTLY the frame-to-frame
+    interval even when sample timestamps float-jitter across frame
+    boundaries (Tracking.cc:1731-1772 tstep split). A one-sample coverage
+    mismatch puts g*ddt ~ 0.05 m/s of systematic error into every inertial
+    edge (~100 sigma), which the VI optimizer absorbs as bias drift."""
+
+    def _tracker_stub(self):
+        from fasttrack_tpu.tracking import Tracker
+
+        t = Tracker.__new__(Tracker)
+        t.imu_queue = []
+        t.pre_from_kf = None
+        t.pre_from_frame = None
+        t.bias = (np.zeros(3), np.zeros(3))
+        t.last_imu_time = None
+        t._last_preint_ts = None
+        t.imu_calib = ImuCalib.default(freq=200.0)
+        return t
+
+    def test_jittered_boundaries_cover_frame_dt(self):
+        t = self._tracker_stub()
+        rng = np.random.default_rng(0)
+        # sample times with +-5e-14 jitter so some land epsilon above the
+        # frame timestamps (the np.arange failure mode: 142/399 frames get
+        # != 10 samples without the boundary split)
+        ts = np.arange(1, 201) * 0.005 + rng.uniform(-5e-14, 5e-14, 200)
+        acc = rng.normal(0, 1, (200, 3))
+        gyr = rng.normal(0, 0.1, (200, 3))
+        worst = 0.0
+        for i in range(1, 20):
+            f_ts = i * 0.05
+            t.grab_imu([(ts[j], acc[j], gyr[j])
+                        for j in range(200)
+                        if (i - 1) * 0.05 < ts[j] + 2.5e-3
+                        and ts[j] - 2.5e-3 <= f_ts])
+            # dedup: grab everything <= f_ts not yet queued is enough for
+            # the test; duplicates are prevented by the queue drain below
+            t.imu_queue = [s for s in t.imu_queue if s[0] > ((i - 1) * 0.05)]
+            t._preintegrate_imu(f_ts)
+            if t.pre_from_frame is not None and i > 1:
+                worst = max(worst, abs(float(t.pre_from_frame.dT) - 0.05))
+        assert worst < 1e-8, worst
+
+    def test_exact_boundaries_unchanged(self):
+        """ns-quantized streams (disk loaders) where the boundary sample
+        equals the frame timestamp must not grow extra fill steps."""
+        t = self._tracker_stub()
+        ts = np.arange(1, 41) * 0.005
+        for i in range(1, 4):
+            f_ts = i * 0.05
+            t.grab_imu([(x, np.zeros(3), np.zeros(3))
+                        for x in ts if (i - 1) * 0.05 < x <= f_ts])
+            t._preintegrate_imu(f_ts)
+            if i > 1:
+                assert abs(float(t.pre_from_frame.dT) - 0.05) < 1e-12
